@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""hal_tpu benchmark: lifted BED intervals/s/chip on the device segment-map
+kernel (the BASELINE.json headline metric).
+
+Prints ONE JSON line:
+  {"metric": "lifted_intervals_per_s_per_chip", "value": N,
+   "unit": "intervals/s", "vs_baseline": R}
+
+vs_baseline = device rate / single-thread vectorized host (numpy) rate —
+the host path is the faithful stand-in for the reference's per-interval C++
+loop on this machine (the reference repo publishes no numbers to compare
+against, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_GENOMES = 10
+N_BOT = 3000          # bottom segments per genome
+SEG_LEN = 60          # ~180 kb genomes
+N_INTERVALS = 1 << 16  # intervals per batch
+MAX_IVLEN = 200
+TIMED_ITERS = 5
+HOST_SAMPLE = 2048
+
+
+def build_alignment():
+    from hal_tpu.randgen import create_random_alignment
+
+    t0 = time.time()
+    aln = create_random_alignment(
+        seed=7, max_genomes=N_GENOMES, min_genomes=N_GENOMES - 1,
+        mean_degree=1.5, max_branch_length=0.2,
+        min_segment_length=SEG_LEN, max_segment_length=SEG_LEN + 20,
+        min_segments=N_BOT // 2, max_segments=N_BOT)
+    sys.stderr.write("fixture: %d genomes in %.1fs\n" % (aln.num_genomes, time.time() - t0))
+    return aln
+
+
+def pick_pair(aln):
+    """Deepest leaf-to-leaf pair (longest traversal path)."""
+    leaves = [n for n in aln.genome_names() if aln.tree.is_leaf(n)
+              and aln.open_genome(n).length > 0]
+    best = (0, leaves[0], leaves[0])
+    for a in leaves:
+        for b in leaves:
+            if a != b:
+                d = len(aln.tree.path(a, b))
+                if d > best[0]:
+                    best = (d, a, b)
+    return best[1], best[2]
+
+
+def main():
+    import jax
+
+    from hal_tpu.ops import segmap_jax as sj
+
+    dev = jax.devices()[0]
+    sys.stderr.write("device: %s\n" % dev)
+
+    aln = build_alignment()
+    src, tgt = pick_pair(aln)
+    sys.stderr.write("pair: %s -> %s (path %d)\n"
+                     % (src, tgt, len(aln.tree.path(src, tgt))))
+    g = aln.open_genome(src)
+
+    rng = np.random.default_rng(0)
+    lo = rng.integers(0, g.length - MAX_IVLEN, N_INTERVALS).astype(np.int64)
+    hi = lo + rng.integers(1, MAX_IVLEN, N_INTERVALS)
+
+    path = sj.PathData.build(aln, src, tgt)
+    import jax.numpy as jnp
+
+    dtype = path.levels[0].grid.dtype
+    lo_d = jnp.asarray(lo, dtype)
+    hi_d = jnp.asarray(hi, dtype)
+    own_d = jnp.arange(N_INTERVALS, dtype=dtype)
+    caps = tuple(int(N_INTERVALS * 8 * (min(l.max_ring + 1, 4) if l.max_ring else 1))
+                 for l in path.levels)
+
+    # warmup/compile with generous capacities, then tighten from measured
+    # per-level totals (static shapes -> smaller arrays -> faster steady state)
+    t0 = time.time()
+    out, total, ovf, level_totals = sj._map_batch_jit(path, lo_d, hi_d, own_d, caps)
+    tot = int(np.asarray(jnp.reshape(total, (1,)))[0])
+    assert not bool(np.asarray(jnp.reshape(ovf, (1,)))[0]), "capacity overflow"
+    lt = np.asarray(level_totals)
+    sys.stderr.write("compile+first: %.1fs, %d fragments, level totals %s\n"
+                     % (time.time() - t0, tot, lt.tolist()))
+
+    def round_up(x):
+        return int(-(-int(x * 1.3) // 8192) * 8192)
+
+    caps = tuple(round_up(x) for x in lt)
+    t0 = time.time()
+    out, total, ovf, level_totals = sj._map_batch_jit(path, lo_d, hi_d, own_d, caps)
+    assert not bool(np.asarray(jnp.reshape(ovf, (1,)))[0]), "tight capacity overflow"
+    sys.stderr.write("tight-caps compile: %.1fs, caps %s\n" % (time.time() - t0, caps))
+
+    # timed: pipeline batches asynchronously, sync once at the end (the
+    # per-call host round trip is tunnel latency, not chip time)
+    t0 = time.time()
+    totals = []
+    for _ in range(TIMED_ITERS):
+        out, total, ovf, _ = sj._map_batch_jit(path, lo_d, hi_d, own_d, caps)
+        totals.append(total)
+    tots = [int(np.asarray(jnp.reshape(t, (1,)))[0]) for t in totals]
+    dt = (time.time() - t0) / TIMED_ITERS
+    device_rate = N_INTERVALS / dt
+    sys.stderr.write("device (pipelined): %.3fs/batch -> %.0f intervals/s\n" % (dt, device_rate))
+
+    # end-to-end including result download for the last batch
+    t0 = time.time()
+    k = tots[-1]
+    arrs = [np.asarray(x[:k]) for x in out[:6]]
+    sys.stderr.write("result download: %.3fs for %d fragments\n" % (time.time() - t0, k))
+
+    # host baseline: vectorized numpy mapper on a subsample
+    from hal_tpu.ops import segmap_host as sm
+
+    t0 = time.time()
+    sm.map_source(aln, src, lo[:HOST_SAMPLE], hi[:HOST_SAMPLE], tgt)
+    host_dt = time.time() - t0
+    host_rate = HOST_SAMPLE / host_dt
+    sys.stderr.write("host: %.3fs/%d -> %.0f intervals/s\n" % (host_dt, HOST_SAMPLE, host_rate))
+
+    print(json.dumps({
+        "metric": "lifted_intervals_per_s_per_chip",
+        "value": round(device_rate, 1),
+        "unit": "intervals/s",
+        "vs_baseline": round(device_rate / host_rate, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+"""Device (jit) mapper must produce the same fragment content as the host
+oracle (un-atomized fragments compared as base-pair sets per owner)."""
+
+import numpy as np
+import pytest
+
+from hal_tpu.randgen import create_random_alignment
+from hal_tpu.ops import segmap_host as sm
+from hal_tpu.ops import segmap_jax as sj
+from naive_oracle import fragments_to_base_pairs
+
+
+def _pairs_with_owner(s_lo, s_hi, t_lo, t_hi, rev, own):
+    out = set()
+    for i in range(len(s_lo)):
+        for k in range(int(s_hi[i] - s_lo[i])):
+            tp = int(t_hi[i]) - 1 - k if rev[i] else int(t_lo[i]) + k
+            out.add((int(own[i]), int(s_lo[i]) + k, tp, bool(rev[i])))
+    return out
+
+
+def _pairs_to_check(aln, exhaustive):
+    """Leaf->leaf, leaf->root, root->leaf by default (covers up, down and
+    up+down paths); every ordered pair with HAL_TPU_SLOW_TESTS=1."""
+    names = aln.genome_names()
+    if exhaustive:
+        return [(s, t) for s in names for t in names if s != t]
+    leaves = [n for n in names if aln.tree.is_leaf(n)]
+    root = aln.root_name
+    out = []
+    if len(leaves) >= 2:
+        out.append((leaves[0], leaves[-1]))
+    out.append((leaves[0], root))
+    out.append((root, leaves[0]))
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 3, 9])
+def test_jax_matches_host(seed):
+    import os
+
+    aln = create_random_alignment(seed=seed, max_genomes=6, min_segments=3,
+                                  max_segments=25, min_segment_length=2,
+                                  max_segment_length=12)
+    rng = np.random.default_rng(seed)
+    count = 0
+    for src, tgt in _pairs_to_check(aln, os.environ.get("HAL_TPU_SLOW_TESTS") == "1"):
+        g = aln.open_genome(src)
+        if g.length < 4:
+            continue
+        if True:
+            lo = rng.integers(0, g.length - 2, 8)
+            hi = np.minimum(lo + rng.integers(1, 30, 8), g.length)
+            keep = hi > lo
+            lo, hi = lo[keep], hi[keep]
+            path = sj.PathData.build(aln, src, tgt)
+            s_lo, s_hi, t_lo, t_hi, rev, own = sj.map_batch(path, lo, hi)
+            got = _pairs_with_owner(s_lo, s_hi, t_lo, t_hi, rev, own)
+            want = set()
+            for i, (l, h) in enumerate(zip(lo, hi)):
+                frags = sm.map_source(aln, src, np.array([l]), np.array([h]), tgt)
+                for (sp, tp, rv) in fragments_to_base_pairs(frags):
+                    want.add((i, sp, tp, rv))
+            assert got == want, (src, tgt)
+            count += 1
+    assert count > 0
+
+
+def test_overflow_retry():
+    aln = create_random_alignment(seed=1, max_genomes=5, min_segments=10,
+                                  max_segments=60, min_segment_length=2,
+                                  max_segment_length=6)
+    names = aln.genome_names()
+    src = [n for n in names if aln.tree.is_leaf(n)][0]
+    tgt = names[-1] if names[-1] != src else names[0]
+    g = aln.open_genome(src)
+    path = sj.PathData.build(aln, src, tgt)
+    # one interval covering the whole genome with tiny capacity multiplier
+    out = sj.map_batch(path, np.array([0]), np.array([g.length]), cap_mult=1)
+    s_lo, s_hi, t_lo, t_hi, rev, own = out
+    frags = sm.map_source(aln, src, np.array([0]), np.array([g.length]), tgt)
+    got = _pairs_with_owner(s_lo, s_hi, t_lo, t_hi, rev, own)
+    want = {(0, a, b, c) for (a, b, c) in fragments_to_base_pairs(frags)}
+    assert got == want
