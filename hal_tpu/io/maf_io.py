@@ -1,0 +1,231 @@
+"""MAF writing: block builder reproducing the reference's MafBlock rules
+(maf/impl/halMafBlock.cpp; entry format :452-456, block print :499-519,
+append/break logic :294-450) over the column engine's atomic slices, plus a
+MAF reader for maf2hal (maf/inc/halMafScanner.h model).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from hal_tpu.alignment import Alignment
+from hal_tpu.ops.column import Row, Slice
+
+# reference MafBlock::defaultMaxLength (maf/impl/halMafBlock.cpp:16)
+DEFAULT_MAX_BLOCK_LEN = 1000
+
+
+@dataclass
+class _Entry:
+    key: tuple          # (is_not_ref, genome, seq_idx) matching row sort
+    name: str
+    genome: str
+    seq_idx: int
+    src_length: int
+    start: int = -1     # strand coords; -1 == NULL (no DNA yet in block)
+    length: int = 0
+    strand: str = "+"
+    text: list = field(default_factory=list)
+    is_ref: bool = False
+
+
+class MafBlockBuilder:
+    """Streams slices; emits MAF block strings."""
+
+    def __init__(self, aln: Alignment, ref: str, max_block_len: int = DEFAULT_MAX_BLOCK_LEN,
+                 ucsc_names: bool = False):
+        self.aln = aln
+        self.ref = ref
+        self.max_len = max_block_len or DEFAULT_MAX_BLOCK_LEN
+        self.ucsc_names = ucsc_names
+        self.entries: list[_Entry] = []
+        self._genomes = {}
+
+    def _g(self, name):
+        if name not in self._genomes:
+            self._genomes[name] = self.aln.open_genome(name)
+        return self._genomes[name]
+
+    def _name(self, genome, seq_idx):
+        g = self._g(genome)
+        if self.ucsc_names:
+            return "%s.%s" % (genome, g.seq_names[seq_idx])
+        return g.seq_names[seq_idx]
+
+    def _row_start_strand(self, row: Row) -> tuple[int, int]:
+        """(strand-coords start, srcLength) of the row's first column."""
+        g = self._g(row.genome)
+        seq_start = int(g.seq_start[row.seq_idx])
+        src_len = g.seq_length(row.seq_idx)
+        if row.rev:
+            start = src_len - 1 - (row.tgt_hi - 1 - seq_start)
+        else:
+            start = row.tgt_lo - seq_start
+        return start, src_len
+
+    def _row_text(self, row: Row) -> str:
+        g = self._g(row.genome)
+        return g.get_dna_string(row.tgt_lo, row.tgt_hi - row.tgt_lo, reversed_=row.rev)
+
+    def _can_append(self, sl: Slice) -> bool:
+        """canAppendColumn at slice granularity (halMafBlock.cpp:401-450)."""
+        e = 0
+        for row in sl.rows:
+            key = (not row.is_ref, row.genome, row.seq_idx)
+            while e < len(self.entries) and self.entries[e].key != key:
+                e += 1
+            if e >= len(self.entries):
+                return False
+            entry = self.entries[e]
+            if entry.start != -1:
+                if entry.length >= self.max_len:
+                    return False
+                if entry.length > 0 and (entry.strand == "-") != row.rev:
+                    return False
+                start, _ = self._row_start_strand(row)
+                if start - entry.start != entry.length:
+                    return False
+            e += 1
+        return True
+
+    def _append(self, sl: Slice) -> None:
+        n = sl.hi - sl.lo
+        e = 0
+        for row in sl.rows:
+            key = (not row.is_ref, row.genome, row.seq_idx)
+            while e < len(self.entries) and self.entries[e].key != key:
+                self.entries[e].text.append("-" * n)
+                e += 1
+            entry = self.entries[e]
+            start, src_len = self._row_start_strand(row)
+            if entry.start == -1:
+                entry.start = start
+                entry.strand = "-" if row.rev else "+"
+            entry.length += n
+            entry.text.append(self._row_text(row))
+            e += 1
+        for k in range(e, len(self.entries)):
+            self.entries[k].text.append("-" * n)
+
+    def _init_block(self, sl: Slice) -> None:
+        self.entries = []
+        for row in sl.rows:
+            start, src_len = self._row_start_strand(row)
+            self.entries.append(_Entry(
+                key=(not row.is_ref, row.genome, row.seq_idx),
+                name=self._name(row.genome, row.seq_idx),
+                genome=row.genome, seq_idx=row.seq_idx,
+                src_length=src_len, is_ref=row.is_ref))
+
+    def _flush(self) -> str | None:
+        live = [e for e in self.entries if e.start != -1]
+        if not live:
+            return None
+        out = ["a\n"]
+        # reference entry first (printBlock :499-517)
+        live.sort(key=lambda e: (not e.is_ref, e.genome, e.seq_idx, e.start))
+        for e in live:
+            out.append("s\t%s\t%d\t%d\t%s\t%d\t%s\n"
+                       % (e.name, e.start, e.length, e.strand, e.src_length,
+                          "".join(e.text)))
+        return "".join(out)
+
+    @staticmethod
+    def _split_slice(sl: Slice, k: int) -> tuple[Slice, Slice]:
+        """Cut a slice after k columns (maxBlockLen break mid-run)."""
+        mid = sl.lo + k
+        left_rows, right_rows = [], []
+        for r in sl.rows:
+            if r.rev:
+                left_rows.append(Row(r.genome, r.seq_idx, r.tgt_hi - k, r.tgt_hi, True, r.is_ref))
+                right_rows.append(Row(r.genome, r.seq_idx, r.tgt_lo, r.tgt_hi - k, True, r.is_ref))
+            else:
+                left_rows.append(Row(r.genome, r.seq_idx, r.tgt_lo, r.tgt_lo + k, False, r.is_ref))
+                right_rows.append(Row(r.genome, r.seq_idx, r.tgt_lo + k, r.tgt_hi, False, r.is_ref))
+        return Slice(sl.lo, mid, left_rows), Slice(mid, sl.hi, right_rows)
+
+    def feed(self, slices):
+        """Consume slices, yielding finished MAF block strings."""
+        started = False
+        cols = 0
+        for sl in slices:
+            while sl is not None:
+                n = sl.hi - sl.lo
+                rest = None
+                cur = cols if started else 0
+                if cur + n > self.max_len:
+                    k = self.max_len - cur
+                    if k > 0:
+                        sl, rest = self._split_slice(sl, k)
+                    else:
+                        rest = sl
+                        sl = None
+                if sl is not None:
+                    if not started:
+                        self._init_block(sl)
+                        started = True
+                        cols = 0
+                    elif not self._can_append(sl):
+                        block = self._flush()
+                        if block:
+                            yield block
+                        self._init_block(sl)
+                        cols = 0
+                    self._append(sl)
+                    cols += sl.hi - sl.lo
+                if rest is not None:
+                    block = self._flush()
+                    if block:
+                        yield block
+                    started = False
+                    cols = 0
+                sl = rest
+        if started:
+            block = self._flush()
+            if block:
+                yield block
+
+
+def write_header(stream, aln: Alignment) -> None:
+    """reference MafExport::writeHeader (halMafExport.cpp:15-23)."""
+    stream.write("##maf version=1 scoring=N/A\n# hal %s\n\n" % aln.get_newick_tree())
+
+
+# --------------------------------------------------------------------- read
+
+@dataclass
+class MafSeqLine:
+    src: str
+    start: int
+    size: int
+    strand: str
+    src_size: int
+    text: str
+
+
+def read_maf_blocks(stream):
+    """Yield lists of MafSeqLine per alignment block (maf2hal's scanner model,
+    maf/inc/halMafScanner.h:23-50)."""
+    block: list[MafSeqLine] = []
+    for line in stream:
+        line = line.strip()
+        if not line or line.startswith("#"):
+            if block:
+                yield block
+                block = []
+            continue
+        if line.startswith("a"):
+            if block:
+                yield block
+                block = []
+            continue
+        if line.startswith("s"):
+            parts = line.split()
+            if len(parts) != 7:
+                raise ValueError("bad MAF s-line: " + line)
+            block.append(MafSeqLine(parts[1], int(parts[2]), int(parts[3]),
+                                    parts[4], int(parts[5]), parts[6]))
+    if block:
+        yield block

@@ -1,0 +1,172 @@
+"""hal2maf — MAF export (reference maf/impl/hal2maf.cpp).
+
+The per-column recursion of the reference becomes block-parallel window
+mapping + slice streaming (hal_tpu.ops.column + io.maf_io)."""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from hal_tpu import open_alignment
+from hal_tpu.io.maf_io import DEFAULT_MAX_BLOCK_LEN, MafBlockBuilder, write_header
+from hal_tpu.ops.column import compute_scope, iter_slices, window_fragments
+from hal_tpu.tools import HalError, add_storage_options, make_parser, tool_main
+
+# reference windows are processed in chunks so memory stays bounded on
+# whole-genome exports (the reference streams column-by-column instead)
+WINDOW = 1 << 20
+
+
+def export_window(out, aln, ref, gs, ge, scope, scope_root, o, builder):
+    frags = window_fragments(aln, ref, gs, ge, scope, scope_root,
+                             do_dupes=not (o.noDupes or o.onlyOrthologs))
+    slices = iter_slices(aln, ref, gs, ge, frags,
+                         no_ancestors=o.noAncestors,
+                         unique_start=gs if o.unique else None)
+    for block in builder.feed(slices):
+        out.write(block + "\n")
+
+
+def run(argv=None):
+    p = make_parser("hal2maf", "Convert hal database to maf")
+    p.add_argument("halFile")
+    p.add_argument("mafFile", help="output maf file (or stdout)")
+    p.add_argument("--refGenome", default="", help="reference genome (root if empty)")
+    p.add_argument("--refSequence", default="")
+    p.add_argument("--refTargets", default="", help="bed file of reference intervals (or stdin)")
+    p.add_argument("--start", type=int, default=0)
+    p.add_argument("--length", type=int, default=0)
+    p.add_argument("--rootGenome", default="")
+    p.add_argument("--targetGenomes", default="")
+    p.add_argument("--maxRefGap", type=int, default=0)
+    p.add_argument("--noDupes", action="store_true")
+    p.add_argument("--noAncestors", action="store_true")
+    p.add_argument("--onlySequenceNames", action="store_true")
+    p.add_argument("--unique", action="store_true")
+    p.add_argument("--append", action="store_true")
+    p.add_argument("--maxBlockLen", type=int, default=DEFAULT_MAX_BLOCK_LEN)
+    p.add_argument("--global", dest="global_", action="store_true")
+    p.add_argument("--printTree", action="store_true")
+    p.add_argument("--onlyOrthologs", action="store_true")
+    p.add_argument("--keepEmptyRefBlocks", action="store_true")
+    add_storage_options(p)
+    o = p.parse_args(argv)
+
+    if o.printTree:
+        raise HalError("--printTree is not implemented yet")
+    if o.maxRefGap:
+        raise HalError("--maxRefGap > 0 is not implemented yet")
+
+    aln = open_alignment(o.halFile)
+    ref = o.refGenome or aln.root_name
+    if ref not in aln.tree:
+        raise HalError("Reference genome %s not found" % ref)
+
+    targets = [t for t in o.targetGenomes.split(",") if t] or None
+    root = o.rootGenome or None
+    scope, scope_root = compute_scope(aln, ref, targets, root)
+
+    out = sys.stdout if o.mafFile in ("stdout", "-") else open(
+        o.mafFile, "a" if o.append else "w")
+    if not o.append:
+        write_header(out, aln)
+
+    g = aln.open_genome(ref)
+    builder = MafBlockBuilder(aln, ref, max_block_len=o.maxBlockLen,
+                              ucsc_names=not o.onlySequenceNames)
+
+    def windows():
+        if o.refTargets:
+            from hal_tpu.io.bed import read_bed
+
+            stream = sys.stdin if o.refTargets == "stdin" else open(o.refTargets)
+            for bed in read_bed(stream):
+                si = g.sequence_index(bed.chrom)
+                base = int(g.seq_start[si])
+                yield base + bed.start, base + bed.end
+        elif o.refSequence:
+            si = g.sequence_index(o.refSequence)
+            base = int(g.seq_start[si])
+            s = o.start
+            ln = o.length or (g.seq_length(si) - s)
+            if s + ln > g.seq_length(si):
+                raise HalError("Invalid range specified for convertGenome")
+            yield base + s, base + s + ln
+        else:
+            if o.start or o.length:
+                raise HalError("--start/--length require --refSequence")
+            for si in range(g.num_sequences):
+                yield int(g.seq_start[si]), int(g.seq_start[si + 1])
+
+    if o.global_:
+        # per-leaf-genome unique export with a shared visit cache
+        # (reference convertEntireAlignment, halMafExport.cpp:90-160)
+        _export_global(out, aln, o)
+    else:
+        for gs, ge in windows():
+            pos = gs
+            while pos < ge:
+                end = min(pos + WINDOW, ge)
+                export_window(out, aln, ref, pos, end, scope, scope_root, o, builder)
+                pos = end
+
+    if out is not sys.stdout:
+        out.close()
+
+
+def _export_global(out, aln, o):
+    """--global: every column exactly once, scanning leaves with a shared
+    visit cache over already-emitted positions."""
+    from hal_tpu.ops.column import compute_scope as _scope
+
+    visited = {}  # genome -> list of (lo, hi) emitted (interval set)
+    leaves = [n for n in aln.genome_names() if aln.tree.is_leaf(n)]
+    for ref in leaves:
+        g = aln.open_genome(ref)
+        scope, scope_root = _scope(aln, ref, None, None)
+        builder = MafBlockBuilder(aln, ref, max_block_len=o.maxBlockLen,
+                                  ucsc_names=not o.onlySequenceNames)
+        vis = _IntervalSet(visited.setdefault(ref, []))
+        pos = 0
+        while pos < g.length:
+            end = min(pos + WINDOW, g.length)
+            frags = window_fragments(aln, ref, pos, end, scope, scope_root,
+                                     do_dupes=not (o.noDupes or o.onlyOrthologs))
+            slices = list(iter_slices(aln, ref, pos, end, frags,
+                                      no_ancestors=o.noAncestors,
+                                      unique_start=pos if True else None))
+            keep = []
+            for sl in slices:
+                if not vis.contains(sl.lo, sl.hi):
+                    keep.append(sl)
+                    # mark every genome position of the column visited
+                    for r in sl.rows:
+                        if r.genome in visited or aln.tree.is_leaf(r.genome):
+                            _IntervalSet(visited.setdefault(r.genome, [])).add(r.tgt_lo, r.tgt_hi)
+            for block in builder.feed(keep):
+                out.write(block + "\n")
+            pos = end
+
+
+class _IntervalSet:
+    """Minimal interval set over a shared list (PositionCache equivalent,
+    api/inc/halPositionCache.h)."""
+
+    def __init__(self, backing: list):
+        self.iv = backing
+
+    def add(self, lo, hi):
+        self.iv.append((lo, hi))
+
+    def contains(self, lo, hi):
+        return any(a <= lo and hi <= b for a, b in self.iv)
+
+
+def main(argv=None):
+    return tool_main(run, argv)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

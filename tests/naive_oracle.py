@@ -62,14 +62,43 @@ def _ring_members(g, p):
     return out
 
 
-def naive_map_base(aln, src_genome, p, tgt_genome, do_dupes=True):
+def _down_positions(aln, positions, cur, tgt, do_dupes):
+    """Map a set of (pos, rev) from genome `cur` down to descendant `tgt`."""
+    tree = aln.tree
+    if cur == tgt:
+        return set(positions)
+    for nxt_name in tree.path(cur, tgt)[1:]:
+        g = aln.open_genome(cur)
+        cg = aln.open_genome(nxt_name)
+        slot = tree.child_index(cur, nxt_name)
+        nxt = set()
+        for pos, rev in positions:
+            r = _down_base(g, cg, slot, pos)
+            if r is None:
+                continue
+            base = (r[0], rev ^ r[1])
+            if do_dupes:
+                for rp, rf in _ring_members(cg, base[0]):
+                    nxt.add((rp, base[1] ^ rf))
+            else:
+                nxt.add(base)
+        positions = nxt
+        cur = nxt_name
+    return positions
+
+
+def naive_map_base(aln, src_genome, p, tgt_genome, do_dupes=True,
+                   coalescence_limit=None):
     """Map one source base to the target genome.
 
     Returns a set of (target_pos, reversed) pairs; reversed means the target
-    runs opposite to the source.
+    runs opposite to the source.  coalescence_limit (an ancestor of the
+    mrca) enables paralogy discovery above the mrca, mirroring
+    mapRecursiveParalogies (halSegmentMapper.cpp:525).
     """
     tree = aln.tree
     mrca = tree.lca(src_genome, tgt_genome)
+    limit = coalescence_limit or mrca
 
     # up phase
     positions = {(p, False)}
@@ -86,25 +115,34 @@ def naive_map_base(aln, src_genome, p, tgt_genome, do_dupes=True):
         positions = nxt
         cur = parent
 
-    # down phase
-    if cur != tgt_genome:
-        for nxt_name in tree.path(cur, tgt_genome)[1:]:
-            g = aln.open_genome(cur)
-            cg = aln.open_genome(nxt_name)
-            slot = tree.child_index(cur, nxt_name)
+    # paralogies above the mrca
+    if do_dupes and limit != mrca:
+        results = set(positions)
+        cur_positions = positions
+        cur_g = mrca
+        while cur_g != limit:
+            g = aln.open_genome(cur_g)
+            paralogs = set()
+            for pos, rev in cur_positions:
+                if g.num_top_segments:
+                    for rp, rf in _ring_members(g, pos):
+                        paralogs.add((rp, rev ^ rf))
+            results |= _down_positions(aln, paralogs, cur_g, mrca, False)
+            parent = tree.parent(cur_g)
+            if parent is None or parent == limit:
+                break
+            pg = aln.open_genome(parent)
             nxt = set()
-            for pos, rev in positions:
-                r = _down_base(g, cg, slot, pos)
-                if r is None:
-                    continue
-                base = (r[0], rev ^ r[1])
-                if do_dupes:
-                    for rp, rf in _ring_members(cg, base[0]):
-                        nxt.add((rp, base[1] ^ rf))
-                else:
-                    nxt.add(base)
-            positions = nxt
-            cur = nxt_name
+            for pos, rev in cur_positions:
+                r = _up_base(g, pg, pos)
+                if r is not None:
+                    nxt.add((r[0], rev ^ r[1]))
+            cur_positions = nxt
+            cur_g = parent
+        positions = results
+
+    # down phase
+    positions = _down_positions(aln, positions, mrca, tgt_genome, do_dupes)
     return positions
 
 

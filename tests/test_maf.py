@@ -1,0 +1,127 @@
+import io
+
+import numpy as np
+import pytest
+
+from fixtures import three_genome_alignment
+from naive_oracle import naive_map_base
+from hal_tpu.io.maf_io import MafBlockBuilder, read_maf_blocks, write_header
+from hal_tpu.ops.column import compute_scope, iter_slices, window_fragments
+
+
+def _export(aln, ref, gs, ge, no_dupes=False, no_ancestors=False,
+            max_block_len=1000, ucsc=True):
+    scope, root = compute_scope(aln, ref)
+    frags = window_fragments(aln, ref, gs, ge, scope, root, do_dupes=not no_dupes)
+    slices = iter_slices(aln, ref, gs, ge, frags, no_ancestors=no_ancestors)
+    b = MafBlockBuilder(aln, ref, max_block_len=max_block_len, ucsc_names=ucsc)
+    return "\n".join(b.feed(slices))
+
+
+def test_fixture_exact_output():
+    aln = three_genome_alignment()
+    got = _export(aln, "A", 0, 25)
+    assert got == """a
+s\tA.A_seq\t0\t5\t+\t25\tTGGCC
+s\tAnc.Anc_seq\t0\t5\t+\t30\tTGGCC
+s\tB.B_seq\t0\t5\t+\t25\tTGGCC
+
+a
+s\tA.A_seq\t5\t5\t+\t25\tATTTT
+s\tAnc.Anc_seq\t20\t5\t-\t30\tATTTT
+s\tB.B_seq\t15\t5\t-\t25\tATTTT
+
+a
+s\tA.A_seq\t10\t10\t+\t25\tGTGGTTAATA
+s\tAnc.Anc_seq\t10\t5\t+\t30\tGTGGT-----
+s\tB.B_seq\t10\t5\t+\t25\tGTGGT-----
+s\tB.B_seq\t15\t5\t+\t25\tGTGGT-----
+
+a
+s\tA.A_seq\t20\t5\t+\t25\tCTGAC
+s\tAnc.Anc_seq\t20\t5\t+\t30\tCTGAC
+"""
+
+
+def test_fixture_no_dupes_no_ancestors():
+    aln = three_genome_alignment()
+    got = _export(aln, "A", 0, 25, no_dupes=True, no_ancestors=True)
+    # no Anc rows; single B row per block (canonical dup only = B T3)
+    assert "Anc" not in got
+    lines = [l for l in got.splitlines() if l.startswith("s")]
+    b_lines = [l for l in lines if l.startswith("s\tB.")]
+    assert len(b_lines) == 3
+    # dup block keeps only canonical B copy [15,20)
+    assert any(l.split("\t")[2] == "15" and l.split("\t")[4] == "+" for l in b_lines)
+
+
+def test_max_block_len_splits():
+    aln = three_genome_alignment()
+    got = _export(aln, "A", 0, 25, max_block_len=3)
+    blocks = [b for b in got.split("\n\n") if b.strip()]
+    for b in blocks:
+        for line in b.splitlines():
+            if line.startswith("s"):
+                assert int(line.split("\t")[3]) <= 3
+
+
+def test_columns_match_oracle_random():
+    from hal_tpu.randgen import create_random_alignment
+
+    aln = create_random_alignment(seed=21, max_genomes=6, min_segments=4,
+                                  max_segments=25, min_segment_length=3,
+                                  max_segment_length=12)
+    leaves = [n for n in aln.genome_names() if aln.tree.is_leaf(n)]
+    ref = leaves[0]
+    g = aln.open_genome(ref)
+    ge = min(g.length, 120)
+    maf = _export(aln, ref, 0, ge, ucsc=True)
+    # reconstruct column membership from the MAF text
+    cols = {}  # ref_pos -> set of (genome, pos)
+    for block in read_maf_blocks(io.StringIO(maf)):
+        ref_line = block[0]
+        assert ref_line.src.startswith(ref + ".")
+        for k in range(ref_line.size):
+            cols.setdefault(ref_line.start + k, set())
+        for line in block:
+            gname, _, sname = line.src.partition(".")
+            gen = aln.open_genome(gname)
+            si = gen.sequence_index(sname)
+            base = int(gen.seq_start[si])
+            # walk the row text against the ref row text
+            ref_cursor = ref_line.start
+            row_cursor = 0
+            for rc, cc in zip(ref_line.text, line.text):
+                assert rc != "-", "reference row must be gapless here"
+                if cc != "-":
+                    if line.strand == "+":
+                        pos = base + line.start + row_cursor
+                    else:
+                        pos = base + line.src_size - 1 - (line.start + row_cursor)
+                    cols[ref_cursor].add((gname, pos))
+                    row_cursor += 1
+                ref_cursor += 1
+    checked = 0
+    scope_root = aln.root_name
+    rng = np.random.default_rng(0)
+    for p in rng.choice(ge, size=min(25, ge), replace=False):
+        want = set()
+        for tgt in aln.genome_names():
+            for tp, _ in naive_map_base(aln, ref, int(p), tgt,
+                                        coalescence_limit=scope_root):
+                want.add((tgt, tp))
+        want.add((ref, int(p)))
+        assert cols.get(int(p), set()) == want, p
+        checked += 1
+    assert checked
+
+
+def test_ref_coverage_complete():
+    """Every reference base appears exactly once as a ref-row column."""
+    aln = three_genome_alignment()
+    maf = _export(aln, "B", 0, 25)
+    seen = []
+    for block in read_maf_blocks(io.StringIO(maf)):
+        r = block[0]
+        seen.extend(range(r.start, r.start + r.size))
+    assert sorted(seen) == list(range(25))

@@ -7,7 +7,7 @@ import pytest
 
 from hal_tpu.randgen import create_random_alignment
 from hal_tpu.ops import segmap_host as sm
-from naive_oracle import fragments_to_base_pairs, naive_map_interval
+from naive_oracle import fragments_to_base_pairs, naive_map_base, naive_map_interval
 
 
 def _rand_intervals(rng, length, n, max_len=40):
@@ -125,3 +125,34 @@ def test_merge_colinear_roundtrip():
     merged = sm.merge_colinear(frags)
     assert fragments_to_base_pairs(merged) == fragments_to_base_pairs(frags)
     assert len(merged) <= len(frags)
+
+
+def test_coalescence_limit_paralogies():
+    """Mapping with a coalescence limit above the MRCA discovers paralogs
+    (reference mapRecursiveParalogies, halSegmentMapper.cpp:525)."""
+    aln = create_random_alignment(seed=21, max_genomes=6, min_segments=4,
+                                  max_segments=25, min_segment_length=3,
+                                  max_segment_length=12)
+    root = aln.root_name
+    names = aln.genome_names()
+    leaves = [n for n in names if aln.tree.is_leaf(n)]
+    checked = 0
+    rng = np.random.default_rng(3)
+    for src in leaves:
+        g = aln.open_genome(src)
+        if g.length < 4:
+            continue
+        for tgt in names:
+            lo, hi = _rand_intervals(rng, g.length, 5)
+            for l, h in zip(lo, hi):
+                frags = sm.map_source(aln, src, np.array([l]), np.array([h]), tgt,
+                                      do_dupes=True, coalescence_limit=root)
+                got = fragments_to_base_pairs(frags)
+                want = set()
+                for p in range(int(l), int(h)):
+                    for tp, rev in naive_map_base(aln, src, p, tgt,
+                                                  coalescence_limit=root):
+                        want.add((p, tp, rev))
+                assert got == want, (src, tgt, l, h)
+                checked += 1
+    assert checked > 0
