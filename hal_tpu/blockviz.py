@@ -1,0 +1,202 @@
+"""Browser snake-track query API — capability parity with libHalBlockViz
+(reference blockViz/inc/halBlockViz.h, blockViz/impl/halBlockViz.cpp).
+
+The reference exposes a C API consumed by the UCSC browser
+(halGetBlocksInTargetRange :243, halOpenLodOrHal :99, dupe modes :86-97,
+seq modes :99-107, global mutex :29-40).  Here the same operations are a
+thread-safe Python API over the batched mapper; all coordinates are
+forward-strand relative like the C structs (halBlockViz.h:48-60).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from dataclasses import dataclass
+
+import numpy as np
+
+from hal_tpu import open_alignment
+from hal_tpu.ops import segmap_host as sm
+
+# dupe modes (halBlockViz.h:86-97)
+HAL_NO_DUPS = 0
+HAL_QUERY_DUPS = 1
+HAL_QUERY_AND_TARGET_DUPS = 2
+
+# seq modes (halBlockViz.h:99-107)
+HAL_NO_SEQUENCE = 0
+HAL_LOD0_SEQUENCE = 1
+HAL_FORCE_LOD0_SEQUENCE = 2
+
+_lock = threading.Lock()  # the reference serializes all API calls
+
+
+@dataclass
+class Block:
+    """hal_block_t (halBlockViz.h:51-60); forward-strand coordinates."""
+
+    q_chrom: str
+    t_start: int
+    q_start: int
+    size: int
+    strand: str
+    q_sequence: str | None = None
+    t_sequence: str | None = None
+
+
+@dataclass
+class TargetDupe:
+    """hal_target_dupe_list_t: target ranges mapping to one query location."""
+
+    t_ranges: list
+    q_chrom: str
+
+
+class LodManager:
+    """Pick the right alignment for a query length from a lod.txt manifest
+    (reference lod/impl/halLodManager.cpp; format halBlockViz.h:108-118)."""
+
+    def __init__(self, path: str):
+        self.levels = []  # (min_query_len, path) ascending
+        base_dir = os.path.dirname(os.path.abspath(path))
+        with open(path) as fh:
+            for line in fh:
+                parts = line.split()
+                if len(parts) != 2:
+                    continue
+                p = parts[1]
+                if not os.path.isabs(p):
+                    p = os.path.join(base_dir, p)
+                self.levels.append((int(parts[0]), p))
+        self.levels.sort()
+        self._cache = {}
+
+    def path_for(self, query_length: int, force_lod0: bool = False) -> str:
+        if force_lod0 or not self.levels:
+            return self.levels[0][1]
+        best = self.levels[0][1]
+        for min_len, p in self.levels:
+            if query_length >= min_len:
+                best = p
+        return best
+
+    def alignment_for(self, query_length: int, force_lod0: bool = False):
+        p = self.path_for(query_length, force_lod0)
+        if p not in self._cache:
+            self._cache[p] = open_alignment(p)
+        return self._cache[p]
+
+
+class Handle:
+    """halOpenLodOrHal equivalent: holds either a single alignment or a
+    LOD manifest."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.lod = None
+        if not os.path.isdir(path):
+            with open(path, "rb") as fh:
+                head = fh.read(64)
+            if not head.startswith(b"\x89HDF") and head[:1].isdigit():
+                self.lod = LodManager(path)
+        if self.lod is None:
+            self.aln = open_alignment(path)
+
+    def alignment(self, query_length: int = 0, force_lod0: bool = False):
+        if self.lod is not None:
+            return self.lod.alignment_for(query_length, force_lod0)
+        return self.aln
+
+
+def hal_open(path: str) -> Handle:
+    with _lock:
+        return Handle(path)
+
+
+def get_genome_names(handle: Handle) -> list[str]:
+    """halGetSpecies equivalent."""
+    with _lock:
+        return handle.alignment().genome_names()
+
+
+def get_chroms(handle: Handle, species: str):
+    """halGetChroms: (name, length) list."""
+    with _lock:
+        g = handle.alignment().open_genome(species)
+        return [(n, g.seq_length(i)) for i, n in enumerate(g.seq_names)]
+
+
+def get_dna(handle: Handle, species: str, chrom: str, start: int, end: int) -> str:
+    """halGetDna."""
+    with _lock:
+        g = handle.alignment(0, force_lod0=True).open_genome(species)
+        si = g.sequence_index(chrom)
+        return g.get_dna_string(int(g.seq_start[si]) + start, end - start)
+
+
+def get_blocks_in_target_range(handle: Handle, q_species: str, t_species: str,
+                               t_chrom: str, t_start: int, t_end: int,
+                               seq_mode: int = HAL_NO_SEQUENCE,
+                               dup_mode: int = HAL_QUERY_DUPS,
+                               map_back_adjacencies: bool = False):
+    """halGetBlocksInTargetRange (halBlockViz.cpp:243, readBlocks :759-813).
+
+    Returns (blocks, target_dupes): query-genome alignment blocks of the
+    target range, forward-strand coordinates.
+    """
+    with _lock:
+        qlen = t_end - t_start
+        force = seq_mode == HAL_FORCE_LOD0_SEQUENCE
+        aln = handle.alignment(qlen, force_lod0=force)
+        tg = aln.open_genome(t_species)
+        qg = aln.open_genome(q_species)
+        si = tg.sequence_index(t_chrom)
+        base = int(tg.seq_start[si])
+        gs, ge = base + t_start, base + t_end
+        frags = sm.map_source(aln, t_species, np.array([gs]), np.array([ge]),
+                              q_species, do_dupes=dup_mode != HAL_NO_DUPS)
+        merged = sm.merge_colinear(frags, seq_bounds=qg.seq_start)
+        want_seq = seq_mode != HAL_NO_SEQUENCE and qg.has_dna and tg.has_dna
+        blocks = []
+        order = np.argsort(merged.src_lo, kind="stable")
+        for i in order:
+            qsi = int(np.searchsorted(qg.seq_start, int(merged.tgt_lo[i]), side="right")) - 1
+            qbase = int(qg.seq_start[qsi])
+            b = Block(
+                q_chrom=qg.seq_names[qsi],
+                t_start=int(merged.src_lo[i]) - base,
+                q_start=int(merged.tgt_lo[i]) - qbase,
+                size=int(merged.src_hi[i] - merged.src_lo[i]),
+                strand="-" if merged.rev[i] else "+",
+            )
+            if want_seq:
+                b.t_sequence = tg.get_dna_string(int(merged.src_lo[i]), b.size)
+                b.q_sequence = qg.get_dna_string(int(merged.tgt_lo[i]), b.size,
+                                                 reversed_=bool(merged.rev[i]))
+            blocks.append(b)
+
+        target_dupes = []
+        if dup_mode == HAL_QUERY_AND_TARGET_DUPS:
+            # target ranges that share a query location ("blue line" dupes,
+            # processTargetDupes halBlockViz.cpp:939)
+            back = sm.map_source(aln, t_species, np.array([gs]), np.array([ge]),
+                                 t_species, do_dupes=True,
+                                 coalescence_limit=aln.root_name)
+            groups = {}
+            for i in range(len(back)):
+                key = (int(back.tgt_lo[i]), int(back.tgt_hi[i]))
+                groups.setdefault(key, []).append(
+                    (int(back.src_lo[i]) - base, int(back.src_hi[i]) - base))
+            for key, ranges in groups.items():
+                if len(ranges) > 1:
+                    target_dupes.append(TargetDupe(sorted(ranges), t_chrom))
+        return blocks, target_dupes
+
+
+def get_max_lod_query_length(handle: Handle) -> int:
+    """halGetMaxLODQueryLength."""
+    with _lock:
+        if handle.lod is None or not handle.lod.levels:
+            return 2 ** 62
+        return 2 ** 62
