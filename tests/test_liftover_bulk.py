@@ -1,0 +1,76 @@
+"""Bulk liftover must produce byte-identical BED3 output to the per-line
+Liftover path (which itself is oracle-verified)."""
+
+import io
+
+import numpy as np
+import pytest
+
+from hal_tpu.ops.liftover import Liftover
+from hal_tpu.ops.liftover_bulk import bulk_liftover_bed3
+from hal_tpu.randgen import create_random_alignment
+
+
+def _per_line(aln, src, tgt, chroms, starts, ends):
+    lo = Liftover(aln, src, tgt)
+    text = "".join("%s\t%d\t%d\n" % (c, s, e) for c, s, e in zip(chroms, starts, ends))
+    out = io.StringIO()
+    lo.convert(io.StringIO(text), out, 0)
+    return out.getvalue()
+
+
+@pytest.mark.parametrize("seed", [0, 5, 13, 21])
+def test_bulk_equals_per_line(seed):
+    aln = create_random_alignment(seed=seed, max_genomes=6, min_segments=4,
+                                  max_segments=30, min_segment_length=3,
+                                  max_segment_length=14)
+    names = aln.genome_names()
+    leaves = [n for n in names if aln.tree.is_leaf(n)]
+    src = leaves[0]
+    tgt = leaves[-1] if leaves[-1] != src else names[-1]
+    g = aln.open_genome(src)
+    if g.length < 20:
+        pytest.skip("fixture too small")
+    rng = np.random.default_rng(seed + 7)
+    n = 40
+    starts, ends, chroms = [], [], []
+    # disjoint intervals within the first sequence
+    pos = 0
+    seq_len = g.seq_length(0)
+    while len(starts) < n and pos < seq_len - 2:
+        ln = int(rng.integers(1, 30))
+        gap = int(rng.integers(0, 10))
+        s = pos + gap
+        e = min(s + ln, seq_len)
+        if e <= s:
+            break
+        starts.append(s)
+        ends.append(e)
+        chroms.append(g.seq_names[0])
+        pos = e
+    want = _per_line(aln, src, tgt, chroms, starts, ends)
+    got = bulk_liftover_bed3(aln, src, tgt, chroms, starts, ends)
+    assert got == want
+
+
+def test_bulk_device_equals_per_line():
+    aln = create_random_alignment(seed=3, max_genomes=5, min_segments=5,
+                                  max_segments=25, min_segment_length=4,
+                                  max_segment_length=12)
+    names = aln.genome_names()
+    leaves = [n for n in names if aln.tree.is_leaf(n)]
+    src = leaves[0]
+    tgt = leaves[-1] if leaves[-1] != src else names[-1]
+    g = aln.open_genome(src)
+    chroms, starts, ends = [], [], []
+    pos = 0
+    while pos + 12 < g.seq_length(0) and len(starts) < 15:
+        starts.append(pos)
+        ends.append(pos + 10)
+        chroms.append(g.seq_names[0])
+        pos += 17
+    if not starts:
+        pytest.skip("fixture too small")
+    want = _per_line(aln, src, tgt, chroms, starts, ends)
+    got = bulk_liftover_bed3(aln, src, tgt, chroms, starts, ends, use_device=True)
+    assert got == want
