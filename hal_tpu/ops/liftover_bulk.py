@@ -143,23 +143,33 @@ def extract_runs_bulk(tg, s_lo, s_hi, t_lo, t_hi, rev, owner, pos_scale):
     out_rev = []
     if m:
         seq_of = np.searchsorted(tg.seq_start, st_lo, side="right") - 1
-        same_owner = so[1:] == so[:-1]
-        same_rev = srev[1:] == srev[:-1]
-        tgt_adj = st_lo[1:] == st_hi[:-1]
-        src_adj = np.where(srev[:-1].astype(bool),
-                           ss_lo[:-1] == ss_hi[1:],
-                           ss_lo[1:] == ss_hi[:-1])
-        same_seq = seq_of[1:] == seq_of[:-1]
-        chain = same_owner & same_rev & tgt_adj & src_adj & same_seq
-        starts = np.concatenate([[True], ~chain])
-        rid = np.cumsum(starts) - 1
-        first = np.flatnonzero(starts)
-        last = np.append(first[1:] - 1, m - 1)
-        out_owner.append(so[first])
-        out_lo.append(st_lo[first])
-        out_hi.append(st_hi[last])
-        out_src.append(np.minimum(ss_lo[first], ss_lo[last]))
-        out_rev.append(srev[first])
+        from hal_tpu import native
+
+        if native.available():
+            ro_, rl_, rh_, rs_, rr_ = native.extract_runs_simple(
+                ss_lo, ss_hi, st_lo, st_hi, srev, so, seq_of)
+            out_owner.append(ro_)
+            out_lo.append(rl_)
+            out_hi.append(rh_)
+            out_src.append(rs_)
+            out_rev.append(rr_)
+        else:
+            same_owner = so[1:] == so[:-1]
+            same_rev = srev[1:] == srev[:-1]
+            tgt_adj = st_lo[1:] == st_hi[:-1]
+            src_adj = np.where(srev[:-1].astype(bool),
+                               ss_lo[:-1] == ss_hi[1:],
+                               ss_lo[1:] == ss_hi[:-1])
+            same_seq = seq_of[1:] == seq_of[:-1]
+            chain = same_owner & same_rev & tgt_adj & src_adj & same_seq
+            starts = np.concatenate([[True], ~chain])
+            first = np.flatnonzero(starts)
+            last = np.append(first[1:] - 1, m - 1)
+            out_owner.append(so[first])
+            out_lo.append(st_lo[first])
+            out_hi.append(st_hi[last])
+            out_src.append(np.minimum(ss_lo[first], ss_lo[last]))
+            out_rev.append(srev[first])
 
     # --- exact fallback for dupe owners ------------------------------
     if len(dup_owners):

@@ -92,9 +92,23 @@ def analyze_branch(aln: Alignment, child: str,
     p_idx = g.top_parent[t_idx]
     rev = g.top_parent_reversed[t_idx].astype(bool)
 
-    # ---- substitutions (bulk) ---------------------------------------
+    # ---- substitutions (bulk; native fast path when built) ----------
+    if do_subs and g.has_dna and pg.has_dna and g.dna.size and pg.dna.size:
+        from hal_tpu import native
+
+        if native.available():
+            c_off = g.top_start[t_idx]
+            lens = g.top_start[t_idx + 1] - c_off
+            p_off = pg.bot_start[p_idx]
+            m, s, ts, tv = native.substitution_stats(
+                g.dna, pg.dna, c_off, p_off, lens,
+                rev.astype(np.uint8))
+            out.matches += m
+            out.subs += s
+            out.transitions += ts
+            out.transversions += tv
+            do_subs = False
     if do_subs:
-        PUR = {ord("A"), ord("G")}
         for k in range(len(t_idx)):
             lo = int(g.top_start[t_idx[k]])
             hi = int(g.top_start[t_idx[k] + 1])
