@@ -273,14 +273,14 @@ def _ring_expand(level: Level, s_lo, s_hi, t_lo, t_hi, rev, owner, valid, seg, c
 
 
 def _final_compact(arrs):
-    """Sort valid entries to the front (stable argsort — TPU-friendly,
-    no serialized scatters) and return arrays + valid count."""
+    """Valid entries are already prefix-dense up to scattered hop/ring
+    holes (each split repacks densely), so no sort is needed: compute the
+    last-valid bound with a max-reduce; the host transfers [:bound] and
+    filters by mask (much cheaper than an argsort compaction on TPU)."""
     s_lo, s_hi, t_lo, t_hi, rev, owner, valid = arrs
-    order = jnp.argsort(jnp.logical_not(valid), stable=True)
-    total = jnp.sum(valid.astype(jnp.int32))
-    take = lambda x: x[order]
-    return (take(s_lo), take(s_hi), take(t_lo), take(t_hi), take(rev),
-            take(owner), take(valid)), total
+    idx = jnp.arange(valid.shape[0], dtype=jnp.int32)
+    bound = jnp.max(jnp.where(valid, idx + 1, 0))
+    return (s_lo, s_hi, t_lo, t_hi, rev, owner, valid), bound
 
 
 def _run_path(path: PathData, lo, hi, owner, caps):
@@ -337,12 +337,14 @@ def map_batch(path: PathData, lo, hi, owner=None, cap_mult: int = 4):
             if level.kind == "down" and level.max_ring:
                 c = c * min(level.max_ring + 1, 4)
             caps.append(int(c))
-        out, total, overflow, level_totals = _map_batch_jit(path, lo, hi, owner, tuple(caps))
+        out, bound, overflow, level_totals = _map_batch_jit(path, lo, hi, owner, tuple(caps))
         if not bool(np.asarray(overflow.reshape(1))[0]):
-            # transfer only the valid prefix (device->host may cross a
-            # network tunnel; the padded capacity stays on device)
-            k = int(total)
-            s_lo, s_hi, t_lo, t_hi, rev, own = [np.asarray(x[:k]) for x in out[:6]]
+            # transfer only up to the last valid slot (device->host may
+            # cross a network tunnel; the padded capacity stays on device)
+            k = int(np.asarray(bound.reshape(1))[0])
+            arrs = [np.asarray(x[:k]) for x in out[:6]]
+            mask = np.asarray(out[6][:k]).astype(bool)
+            s_lo, s_hi, t_lo, t_hi, rev, own = [a[mask] for a in arrs]
             return (s_lo, s_hi, t_lo, t_hi, rev, own)
         mult *= 2
         if mult > 4096:
