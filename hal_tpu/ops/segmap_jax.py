@@ -38,6 +38,22 @@ from hal_tpu.alignment import Alignment
 TOP = 0
 BOTTOM = 1
 
+# grids up to this many entries use the Pallas compare-count searchsorted
+# (hal_tpu.ops.pallas_kernels); larger grids or non-TPU backends fall back
+# to jnp.searchsorted(method='sort')
+_PALLAS_GRID_LIMIT = 65536
+
+
+def _searchsorted_right(grid, q):
+    if (grid.dtype == jnp.int32 and q.dtype == jnp.int32
+            and grid.shape[0] <= _PALLAS_GRID_LIMIT
+            and jax.default_backend() != "cpu"):
+        from hal_tpu.ops import pallas_kernels as pk
+
+        gp, n_pad = pk.pad_grid(grid)
+        return pk.searchsorted_right(gp, n_pad, q)
+    return jnp.searchsorted(grid, q, side="right", method="sort")
+
 
 @dataclass(frozen=True)
 class Level:
@@ -200,8 +216,8 @@ def _build_ring_csr(ring: np.ndarray, reversed_: np.ndarray):
 
 def _split_by_grid(grid, src_lo, src_hi, tgt_lo, tgt_hi, rev, owner, valid, cap_out):
     """Split targets at grid boundaries; output capacity cap_out."""
-    i0 = jnp.searchsorted(grid, tgt_lo, side="right", method="sort") - 1
-    i1 = jnp.searchsorted(grid, tgt_hi - 1, side="right", method="sort") - 1
+    i0 = _searchsorted_right(grid, tgt_lo) - 1
+    i1 = _searchsorted_right(grid, tgt_hi - 1) - 1
     counts = jnp.where(valid, i1 - i0 + 1, 0)
     offsets = jnp.cumsum(counts) - counts
     total = offsets[-1] + counts[-1]
