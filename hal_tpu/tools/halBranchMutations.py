@@ -15,12 +15,28 @@ from hal_tpu.ops.rearrangement import (DEFAULT_GAP_THRESHOLD, DEFAULT_N_THRESHOL
 from hal_tpu.tools import HalError, add_storage_options, make_parser, tool_main
 
 
-def _bed_writer(path):
+BED_HEADER = ("#Sequence\tStart\tEnd\tMutationID\tParentGenome\tChildGenome\n"
+              "#I=Insertion D=Deletion GI(D)=GapInsertion(GapDeletion) "
+              "V=Inversion P=Transposition U=Duplication "
+              "DB=Deletion Breakpoint GDB=Gap Deletion Breakpoint\n")
+
+
+def _bed_writer(path, opened, headered):
+    """Open (or reuse) an output stream and write the reference's two-line
+    header once per stream (BranchMutations::writeHeaders,
+    mutations/impl/halBranchMutations.cpp:258-265)."""
     if not path:
         return None
     if path in ("stdout", "-"):
-        return sys.stdout
-    return open(path, "w")
+        f = sys.stdout
+    elif path in opened:
+        f = opened[path]
+    else:
+        f = opened.setdefault(path, open(path, "w"))
+    if id(f) not in headered:
+        headered.add(id(f))
+        f.write(BED_HEADER)
+    return f
 
 
 def run(argv=None):
@@ -49,19 +65,24 @@ def run(argv=None):
     g = aln.open_genome(child)
     pg = aln.open_genome(parent)
 
-    ref_f = _bed_writer(o.refFile or ("stdout" if not (o.parentFile or o.snpFile or o.delBreakFile) else ""))
-    par_f = _bed_writer(o.parentFile)
-    snp_f = _bed_writer(o.snpFile)
-    db_f = _bed_writer(o.delBreakFile)
+    opened, headered = {}, set()
+    ref_f = _bed_writer(o.refFile or ("stdout" if not (o.parentFile or o.snpFile or o.delBreakFile) else ""),
+                        opened, headered)
+    par_f = _bed_writer(o.parentFile, opened, headered)
+    snp_f = _bed_writer(o.snpFile, opened, headered)
+    db_f = _bed_writer(o.delBreakFile, opened, headered)
 
     res = analyze_branch(aln, child, o.maxGap, o.maxNFraction, do_subs=False)
 
     def emit(f, genome, lo, hi, tag):
+        # column layout: seq start end tag parentGenome childGenome
+        # (halBranchMutations.cpp:135-147,175-177,222-225)
         if f is None or lo < 0:
             return
         si = int(np.searchsorted(genome.seq_start, lo, side="right")) - 1
         base = int(genome.seq_start[si])
-        f.write("%s\t%d\t%d\t%s\t0\t.\n" % (genome.seq_names[si], lo - base, hi - base, tag))
+        f.write("%s\t%d\t%d\t%s\t%s\t%s\n"
+                % (genome.seq_names[si], lo - base, hi - base, tag, parent, child))
 
     # window restriction
     win = None
@@ -101,6 +122,9 @@ def run(argv=None):
             for j in np.flatnonzero(ne):
                 pos = lo + int(j)
                 emit(snp_f, g, pos, pos + 1, "S_%s%s" % (chr(pu[j]), chr(cu[j])))
+
+    for f in opened.values():
+        f.close()
 
 
 def main(argv=None):

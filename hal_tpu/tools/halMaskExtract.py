@@ -53,6 +53,8 @@ def run(argv=None):
                 a, b = a - e, b + e
             a, b = max(0, int(a)), min(ln, int(b))
             os_.write("%s\t%d\t%d\n" % (g.seq_names[si], a, b))
+    if os_ is not sys.stdout:
+        os_.close()
 
 
 def main(argv=None):

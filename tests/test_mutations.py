@@ -72,5 +72,9 @@ def test_branch_mutations_cli(tmp_path):
     child = [g for g in genomes if run_tool("halStats", p, "--parent", g).stdout.strip()][0]
     r = run_tool("halBranchMutations", p, child, "--snpFile", "stdout")
     assert r.returncode == 0, r.stderr
-    for line in r.stdout.splitlines():
-        assert line.split("\t")[3].startswith("S_")
+    body = [l for l in r.stdout.splitlines() if not l.startswith("#")]
+    assert any(l.startswith("#Sequence\t") for l in r.stdout.splitlines())
+    for line in body:
+        toks = line.split("\t")
+        assert toks[3].startswith("S_")
+        assert toks[5] == child  # parent/child genome columns (halBranchMutations.cpp:147)
