@@ -49,13 +49,11 @@ def make_sharded_step(path: PathData, caps: tuple, tgt_len: int, n_bins: int, me
         cov_shard = jax.lax.dynamic_slice(cov, (ci * k,), (k,))
         return (s_lo, s_hi, t_lo, t_hi, rev, own, valid), cov_shard
 
-    from jax.experimental.shard_map import shard_map
-
-    step = shard_map(
+    step = jax.shard_map(
         local_step, mesh=mesh,
         in_specs=(P("data"), P("data"), P("data")),
         out_specs=(tuple([P("data")] * 7), P("coord")),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(step)
 
