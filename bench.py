@@ -26,9 +26,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 N_GENOMES = 10
 N_BOT = 3000          # bottom segments per genome
 SEG_LEN = 60          # ~180 kb genomes
-N_INTERVALS = 1 << 16  # intervals per batch
+N_INTERVALS = 1 << 20  # intervals per batch
 MAX_IVLEN = 200
-TIMED_ITERS = 5
+TIMED_ITERS = 20
 HOST_SAMPLE = 2048
 
 
@@ -84,45 +84,48 @@ def main():
     lo_d = jnp.asarray(lo, dtype)
     hi_d = jnp.asarray(hi, dtype)
     own_d = jnp.arange(N_INTERVALS, dtype=dtype)
-    caps = tuple(int(N_INTERVALS * 8 * (min(l.max_ring + 1, 4) if l.max_ring else 1))
-                 for l in path.levels)
 
-    # warmup/compile with generous capacities, then tighten from measured
-    # per-level totals (static shapes -> smaller arrays -> faster steady state)
+    # sizing pass on a small subsample with generous caps -> measured
+    # per-level expansion factors -> one tight-cap compile for the full
+    # batch (static shapes; avoids compiling a giant generous-cap program)
+    M = 1 << 14
+    sub = (lo_d[:M], hi_d[:M], own_d[:M])
+    caps_s = tuple(int(M * 8 * (min(l.max_ring + 1, 4) if l.max_ring else 1))
+                   for l in path.levels)
     t0 = time.time()
-    out, total, ovf, level_totals = sj._map_batch_jit(path, lo_d, hi_d, own_d, caps)
-    tot = int(np.asarray(jnp.reshape(total, (1,)))[0])
-    assert not bool(np.asarray(jnp.reshape(ovf, (1,)))[0]), "capacity overflow"
+    _F, _b, ovf, level_totals = sj._map_batch_jit(path, *sub, caps_s)
+    assert not bool(np.asarray(jnp.reshape(ovf, (1,)))[0]), "sizing overflow"
     lt = np.asarray(level_totals)
-    sys.stderr.write("compile+first: %.1fs, %d fragments, level totals %s\n"
-                     % (time.time() - t0, tot, lt.tolist()))
+    sys.stderr.write("sizing pass: %.1fs, level totals %s\n"
+                     % (time.time() - t0, lt.tolist()))
 
     def round_up(x):
-        return int(-(-int(x * 1.3) // 8192) * 8192)
+        return int(-(-int(x) // 8192) * 8192)
 
-    caps = tuple(round_up(x) for x in lt)
+    caps = tuple(round_up(x * (N_INTERVALS // M) * 1.4) for x in lt)
     t0 = time.time()
-    out, total, ovf, level_totals = sj._map_batch_jit(path, lo_d, hi_d, own_d, caps)
+    F, bound, ovf, level_totals = sj._map_batch_jit(path, lo_d, hi_d, own_d, caps)
     assert not bool(np.asarray(jnp.reshape(ovf, (1,)))[0]), "tight capacity overflow"
     sys.stderr.write("tight-caps compile: %.1fs, caps %s\n" % (time.time() - t0, caps))
 
-    # timed: pipeline batches asynchronously, sync once at the end (the
-    # per-call host round trip is tunnel latency, not chip time)
+    # timed: dispatch TIMED_ITERS batches, then force completion by fetching
+    # the LAST batch's bound scalar — the device executes computations in
+    # dispatch order, so the last completing implies all completed.  (NB
+    # jax.block_until_ready does not reliably wait on tunneled backends;
+    # a data fetch is the only honest sync.)
     t0 = time.time()
-    totals = []
     for _ in range(TIMED_ITERS):
-        out, total, ovf, _ = sj._map_batch_jit(path, lo_d, hi_d, own_d, caps)
-        totals.append(total)
-    tots = [int(np.asarray(jnp.reshape(t, (1,)))[0]) for t in totals]
+        F, bound, ovf, _ = sj._map_batch_jit(path, lo_d, hi_d, own_d, caps)
+    assert not bool(np.asarray(jnp.reshape(ovf, (1,)))[0]), "timed overflow"
     dt = (time.time() - t0) / TIMED_ITERS
     device_rate = N_INTERVALS / dt
-    sys.stderr.write("device (pipelined): %.3fs/batch -> %.0f intervals/s\n" % (dt, device_rate))
+    sys.stderr.write("device (pipelined): %.4fs/batch -> %.0f intervals/s\n" % (dt, device_rate))
 
     # end-to-end including result download for the last batch
     t0 = time.time()
-    k = tots[-1]
-    arrs = [np.asarray(x[:k]) for x in out[:6]]
-    sys.stderr.write("result download: %.3fs for %d fragments\n" % (time.time() - t0, k))
+    k = int(np.asarray(jnp.reshape(bound, (1,)))[0])
+    M = np.asarray(F[:, :k])
+    sys.stderr.write("result download: %.3fs for %d rows\n" % (time.time() - t0, k))
 
     # host baseline: vectorized numpy mapper on a subsample
     from hal_tpu.ops import segmap_host as sm

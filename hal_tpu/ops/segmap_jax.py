@@ -8,10 +8,28 @@ is one fused XLA program of gathers + scans:
     into the trace as an unrolled loop over levels (PathData),
   * raggedness (a fragment splitting at segment boundaries, paralogy rings)
     is handled with bounded-capacity expansion + mask compaction — the
-    standard segmented-scan/expansion pattern (searchsorted over cumulative
-    counts), no data-dependent shapes anywhere,
+    standard segmented-scan/expansion pattern, no data-dependent shapes
+    anywhere,
   * an overflow flag is returned; the host wrapper doubles capacity and
     retries (compile cache per capacity).
+
+TPU layout notes (the hot-path design, measured on v5e):
+  * fragment state lives in ONE packed (8, cap) matrix — fields on the
+    sublane axis, fragments on the lane axis, so the natural (8, 128)
+    TPU tile holds 128 complete fragments with zero padding.  A gather of
+    fragment j reads ONE tile (jnp.take axis=1), ~9x faster than eight
+    separate 1-D gathers.  (The row-major (cap, 8) alternative pads the
+    lane axis 32x — 4 GiB for a 128 MiB matrix — do not use it.)
+  * per-level segment metadata is packed the same way: seg_table (4, m)
+    rows [start, next_start, link, link_reversed] and dst_tab (4, m_dst)
+    rows [dst_start, ring_count, ring_offset, 0] — one column gather per
+    hop instead of five,
+  * the expansion owner index (which input owns output slot j) is computed
+    with scatter-max + cummax over the slot range — NOT
+    searchsorted(method='sort'); a bitonic sort per level is the single
+    slowest XLA op on TPU for this workload,
+  * searchsorted over the (small) per-genome segment grids uses the Pallas
+    compare-count kernel (hal_tpu.ops.pallas_kernels) when the grid fits.
 
 Fragments carry an `owner` id so one kernel call lifts an entire batch of
 BED intervals while preserving per-interval semantics downstream.
@@ -38,6 +56,9 @@ from hal_tpu.alignment import Alignment
 TOP = 0
 BOTTOM = 1
 
+# packed fragment-state rows of the (8, cap) state matrix
+C_SLO, C_SHI, C_TLO, C_THI, C_REV, C_OWN, C_VALID, C_AUX = range(8)
+
 # grids up to this many entries use the Pallas compare-count searchsorted
 # (hal_tpu.ops.pallas_kernels); larger grids or non-TPU backends fall back
 # to jnp.searchsorted(method='sort')
@@ -57,24 +78,17 @@ def _searchsorted_right(grid, q):
 
 @dataclass(frozen=True)
 class Level:
-    """One traversal level's device arrays (padded to genome sizes)."""
+    """One traversal level's device arrays (packed (fields, n) tables)."""
 
     kind: str  # 'up' | 'down'
-    # grid to split fragment targets on (top_start for up, bot_start for down)
+    # sorted split grid: segment starts incl. end sentinel (n_seg+1)
     grid: jnp.ndarray
-    # up: parent index / reversed per top segment; parent bot_start for coords
-    # down: child index / reversed per bottom segment; child top_start
-    link: jnp.ndarray
-    link_reversed: jnp.ndarray
-    seg_start: jnp.ndarray   # == grid (start of each segment, sentinel incl.)
-    dst_start: jnp.ndarray   # parent bot_start / child top_start
-    # paralogy dup table of the DESTINATION genome (down only; empty if
-    # unused): CSR over top segments -> other ring members
-    ring_counts: jnp.ndarray    # [n_top] number of OTHER ring members
-    ring_offsets: jnp.ndarray   # [n_top] CSR start into ring_members
-    ring_members: jnp.ndarray   # [nnz] member segment index
-    ring_flip: jnp.ndarray      # [nnz] 1 if member parent-orientation differs
-    dst_grid: jnp.ndarray       # destination top_start (for ring offsets)
+    # (4, n_seg) rows: [start, next_start, link, link_reversed]
+    seg_table: jnp.ndarray
+    # (4, n_dst) rows: [dst_start, ring_count, ring_offset, 0]; indexed by link
+    dst_tab: jnp.ndarray
+    # (4, nnz) rows: [member_start, member_next_start, flip, 0] (down+dupes)
+    ring_mem_tab: jnp.ndarray
     max_ring: int
 
 
@@ -96,8 +110,19 @@ class PathData:
                               aln.open_genome(n).num_bottom_segments)
                           for n in tree.path(src, tgt))
             dtype = jnp.int32 if max(max_len, max_seg) < 2 ** 31 - 2 else jnp.int64
+        np_dtype = np.int32 if dtype == jnp.int32 else np.int64
+
         def A(x):
             return jnp.asarray(np.ascontiguousarray(x), dtype)
+
+        def pack4(*cols):
+            n = len(cols[0])
+            m = np.zeros((4, max(n, 1)), np_dtype)
+            for k, c in enumerate(cols):
+                if n:
+                    m[k, :] = c
+            return jnp.asarray(m)
+
         levels = []
         cur = src
         # ---- up levels -------------------------------------------------
@@ -105,19 +130,15 @@ class PathData:
             g = aln.open_genome(cur)
             parent = tree.parent(cur)
             pg = aln.open_genome(parent)
-            slot = tree.child_index(parent, cur)
+            n_seg = g.num_top_segments
             levels.append(Level(
                 kind="up",
                 grid=A(g.top_start),
-                link=A(g.top_parent),
-                link_reversed=jnp.asarray(g.top_parent_reversed),
-                seg_start=A(g.top_start),
-                dst_start=A(pg.bot_start),
-                ring_counts=jnp.zeros(0, dtype),
-                ring_offsets=jnp.zeros(0, dtype),
-                ring_members=jnp.zeros(0, dtype),
-                ring_flip=jnp.zeros(0, jnp.uint8),
-                dst_grid=jnp.zeros(0, dtype),
+                seg_table=pack4(g.top_start[:n_seg], g.top_start[1:n_seg + 1],
+                                g.top_parent[:n_seg],
+                                g.top_parent_reversed[:n_seg].astype(np.int64)),
+                dst_tab=pack4(pg.bot_start[:pg.num_bottom_segments]),
+                ring_mem_tab=pack4(np.zeros(0, np.int64)),
                 max_ring=0,
             ))
             cur = parent
@@ -128,49 +149,47 @@ class PathData:
                 g = aln.open_genome(cur)
                 cg = aln.open_genome(nxt)
                 slot = tree.child_index(cur, nxt)
+                n_seg = g.num_bottom_segments
+                nd = cg.num_top_segments
                 max_ring = 0
-                rc = np.zeros(0, np.int64)
-                ro = np.zeros(0, np.int64)
+                rc = np.zeros(nd, np.int64)
+                ro = np.zeros(nd, np.int64)
                 rm = np.zeros(0, np.int64)
                 rf = np.zeros(0, np.uint8)
                 if do_dupes and (cg.top_paralogy != NULL_INDEX).any():
-                    rc, ro, rm, rf = _build_ring_csr(cg.top_paralogy, cg.top_parent_reversed)
+                    rc, ro, rm, rf = _build_ring_csr(cg.top_paralogy,
+                                                     cg.top_parent_reversed)
                     max_ring = int(rc.max()) + 1
+                link = (g.bot_child[:n_seg, slot] if n_seg
+                        else np.zeros(0, np.int64))
+                lrev = (g.bot_child_reversed[:n_seg, slot].astype(np.int64)
+                        if n_seg else np.zeros(0, np.int64))
+                mem = rm.astype(np.int64)
                 levels.append(Level(
                     kind="down",
                     grid=A(g.bot_start),
-                    link=A(g.bot_child[:, slot])
-                    if g.num_bottom_segments else jnp.full((0,), NULL_INDEX, dtype),
-                    link_reversed=jnp.asarray(np.ascontiguousarray(g.bot_child_reversed[:, slot]))
-                    if g.num_bottom_segments else jnp.zeros(0, jnp.uint8),
-                    seg_start=A(g.bot_start),
-                    dst_start=A(cg.top_start),
-                    ring_counts=A(rc),
-                    ring_offsets=A(ro),
-                    ring_members=A(rm),
-                    ring_flip=jnp.asarray(rf),
-                    dst_grid=A(cg.top_start),
+                    seg_table=pack4(g.bot_start[:n_seg], g.bot_start[1:n_seg + 1],
+                                    link, lrev),
+                    dst_tab=pack4(cg.top_start[:nd], rc[:nd], ro[:nd]),
+                    ring_mem_tab=pack4(cg.top_start[mem] if len(mem) else mem,
+                                       cg.top_start[mem + 1] if len(mem) else mem,
+                                       rf.astype(np.int64)),
                     max_ring=max_ring,
                 ))
                 cur = nxt
         return cls(levels=tuple(levels), n_up=n_up)
 
 
-
 def _level_flatten(lv: Level):
-    children = (lv.grid, lv.link, lv.link_reversed, lv.seg_start, lv.dst_start,
-                lv.ring_counts, lv.ring_offsets, lv.ring_members, lv.ring_flip,
-                lv.dst_grid)
+    children = (lv.grid, lv.seg_table, lv.dst_tab, lv.ring_mem_tab)
     aux = (lv.kind, lv.max_ring)
     return children, aux
 
 
 def _level_unflatten(aux, children):
-    return Level(kind=aux[0], max_ring=aux[1],
-                 grid=children[0], link=children[1], link_reversed=children[2],
-                 seg_start=children[3], dst_start=children[4], ring_counts=children[5],
-                 ring_offsets=children[6], ring_members=children[7],
-                 ring_flip=children[8], dst_grid=children[9])
+    return Level(kind=aux[0], max_ring=aux[1], grid=children[0],
+                 seg_table=children[1], dst_tab=children[2],
+                 ring_mem_tab=children[3])
 
 
 jax.tree_util.register_pytree_node(Level, _level_flatten, _level_unflatten)
@@ -214,115 +233,139 @@ def _build_ring_csr(ring: np.ndarray, reversed_: np.ndarray):
 # jit building blocks (all fixed-capacity)
 # --------------------------------------------------------------------------
 
-def _split_by_grid(grid, src_lo, src_hi, tgt_lo, tgt_hi, rev, owner, valid, cap_out):
-    """Split targets at grid boundaries; output capacity cap_out."""
-    i0 = _searchsorted_right(grid, tgt_lo) - 1
-    i1 = _searchsorted_right(grid, tgt_hi - 1) - 1
-    counts = jnp.where(valid, i1 - i0 + 1, 0)
+def _rows(M):
+    """Split a packed (r, c) matrix into r dense 1-D rows via one logical
+    flatten — XLA emits a single tiled transpose-copy instead of r separate
+    (c, 1) layout conversions (which pad the lane axis 128x)."""
+    r, c = M.shape
+    flat = M.reshape(r * c)
+    return [jax.lax.slice_in_dim(flat, f * c, (f + 1) * c) for f in range(r)]
+
+
+def _expand_owner(counts, cap_out):
+    """own[j] = index i of the input owning output slot j, for the dense
+    expansion where input i owns counts[i] consecutive slots.
+
+    scatter-max an input-index mark at each segment start, then cummax —
+    O(n + cap) memory-bound, no sort (a bitonic searchsorted(method='sort')
+    here is the dominant TPU cost otherwise)."""
+    dt = counts.dtype
     offsets = jnp.cumsum(counts) - counts
     total = offsets[-1] + counts[-1]
-    j = jnp.arange(cap_out, dtype=tgt_lo.dtype)
-    own = jnp.searchsorted(offsets + counts, j, side="right", method="sort")
-    own = jnp.minimum(own, counts.shape[0] - 1)
-    k = j - offsets[own]
-    v = j < total
-    seg = jnp.clip(i0[own] + k, 0, grid.shape[0] - 2)
-    p_lo = jnp.maximum(tgt_lo[own], grid[seg])
-    p_hi = jnp.minimum(tgt_hi[own], grid[seg + 1])
-    r = rev[own]
-    adv = jnp.where(r.astype(bool), tgt_hi[own] - p_hi, p_lo - tgt_lo[own])
-    s_lo = src_lo[own] + adv
-    s_hi = s_lo + (p_hi - p_lo)
-    v = v & (p_hi > p_lo)
-    overflow = total > cap_out
-    return (s_lo, s_hi, p_lo, p_hi, r, owner[own], v, seg), overflow
+    n = counts.shape[0]
+    idx = jnp.where(counts > 0, offsets, cap_out)
+    marks = jnp.zeros(cap_out, dt).at[idx].max(
+        jnp.arange(n, dtype=dt), mode="drop")
+    own = jax.lax.cummax(marks)
+    return own, offsets, total
 
 
-def _hop(level: Level, s_lo, s_hi, t_lo, t_hi, rev, owner, valid, seg):
-    """seg-indexed link hop (up: top->parent bottom; down: bottom->child top)."""
-    link = level.link[jnp.clip(seg, 0, level.link.shape[0] - 1)] if level.link.shape[0] else jnp.full_like(seg, NULL_INDEX)
-    lrev = level.link_reversed[jnp.clip(seg, 0, level.link_reversed.shape[0] - 1)] if level.link_reversed.shape[0] else jnp.zeros_like(seg, dtype=jnp.uint8)
-    has = valid & (link != NULL_INDEX)
-    ss = level.seg_start[jnp.clip(seg, 0, level.seg_start.shape[0] - 2)]
-    se = level.seg_start[jnp.clip(seg + 1, 1, level.seg_start.shape[0] - 1)]
-    ds = level.dst_start[jnp.clip(link, 0, level.dst_start.shape[0] - 2)]
-    off = t_lo - ss
-    ln = t_hi - t_lo
-    mirrored = se - t_hi
-    new_lo = jnp.where(lrev.astype(bool), ds + mirrored, ds + off)
+def _split_hop(level: Level, F, cap_out):
+    """Split fragment targets at this level's segment grid, then hop each
+    piece across the link (up: top->parent bottom; down: bottom->child top).
+
+    Returns the hopped packed state (8, cap_out) with C_AUX = destination
+    segment start (needed by the ring expansion), plus per-slot ring counts
+    and CSR offsets, and the overflow flag."""
+    dt = F.dtype
+    m = level.seg_table.shape[1]
+    t_lo = F[C_TLO]
+    t_hi = F[C_THI]
+    valid = F[C_VALID] > 0
+    i0 = _searchsorted_right(level.grid, t_lo) - 1
+    i1 = _searchsorted_right(level.grid, t_hi - 1) - 1
+    counts = jnp.where(valid, jnp.maximum(i1 - i0 + 1, 0), 0)
+    own, offsets, total = _expand_owner(counts, cap_out)
+    # gather-once source matrix: [s_lo, s_hi, t_lo, t_hi, rev, owner, offset, i0]
+    G = jnp.concatenate([F[:6], offsets[None, :], i0[None, :]], axis=0)
+    R = _rows(jnp.take(G, own, axis=1))  # one column gather, then dense rows
+    j = jnp.arange(cap_out, dtype=dt)
+    k = j - R[6]
+    seg = jnp.clip(R[7] + k, 0, m - 1)
+    ST = _rows(jnp.take(level.seg_table, seg, axis=1))  # [start, next, link, lrev]
+    p_lo = jnp.maximum(R[C_TLO], ST[0])
+    p_hi = jnp.minimum(R[C_THI], ST[1])
+    rev = R[C_REV]
+    adv = jnp.where(rev > 0, R[C_THI] - p_hi, p_lo - R[C_TLO])
+    s_lo = R[C_SLO] + adv
+    ln = p_hi - p_lo
+    v = (j < total) & (ln > 0)
+    # hop across the link
+    link = ST[2]
+    lrev = ST[3]
+    DT = _rows(jnp.take(level.dst_tab,
+                        jnp.clip(link, 0, level.dst_tab.shape[1] - 1), axis=1))
+    has = v & (link != NULL_INDEX)
+    ds = DT[0]
+    off = p_lo - ST[0]
+    mirrored = ST[1] - p_hi
+    new_lo = jnp.where(lrev > 0, ds + mirrored, ds + off)
     new_rev = rev ^ lrev
-    return s_lo, s_hi, new_lo, new_lo + ln, new_rev, owner, has, link
+    Fout = jnp.stack(
+        [s_lo, s_lo + ln, new_lo, new_lo + ln, new_rev, R[C_OWN],
+         has.astype(dt), ds], axis=0)
+    ring_counts = jnp.where(has, DT[1], 0)
+    ring_offsets = DT[2]
+    return Fout, ring_counts, ring_offsets, total > cap_out
 
 
-def _ring_expand(level: Level, s_lo, s_hi, t_lo, t_hi, rev, owner, valid, seg, cap_out):
+def _ring_expand(level: Level, F, ring_counts, ring_offsets, cap_out):
     """Append all paralogy-ring members via one CSR expansion (bounded by
-    the true number of dupes, not max_ring x capacity)."""
-    grid = level.dst_grid
-    nseg = level.ring_counts.shape[0]
-    segc = jnp.clip(seg, 0, max(nseg - 1, 0))
-    counts = jnp.where(valid, level.ring_counts[segc], 0)
-    offsets = jnp.cumsum(counts) - counts
-    total = offsets[-1] + counts[-1]
-    j = jnp.arange(cap_out, dtype=s_lo.dtype)
-    own = jnp.searchsorted(offsets + counts, j, side="right", method="sort")
-    own = jnp.minimum(own, counts.shape[0] - 1)
-    k = j - offsets[own]
+    the true number of dupes).  F's C_AUX row holds the destination
+    segment start from the hop."""
+    dt = F.dtype
+    own, offsets, total = _expand_owner(ring_counts, cap_out)
+    off_row = F[C_TLO] - F[C_AUX]
+    ln_row = F[C_THI] - F[C_TLO]
+    G = jnp.concatenate(
+        [F[:2], off_row[None, :], ln_row[None, :], F[4:6],
+         offsets[None, :], ring_offsets[None, :]], axis=0)
+    R = _rows(jnp.take(G, own, axis=1))
+    j = jnp.arange(cap_out, dtype=dt)
+    k = j - R[6]
+    nnz = max(level.ring_mem_tab.shape[1], 1)
+    midx = jnp.clip(R[7] + k, 0, nnz - 1)
+    MT = _rows(jnp.take(level.ring_mem_tab, midx, axis=1))  # [start, next, flip]
+    offm = R[2]
+    ln = R[3]
+    flip = MT[2]
+    nlo = jnp.where(flip > 0, MT[1] - offm - ln, MT[0] + offm)
     v = j < total
-    nnz = max(level.ring_members.shape[0], 1)
-    midx = jnp.clip(level.ring_offsets[jnp.clip(seg[own], 0, max(nseg - 1, 0))] + k, 0, nnz - 1)
-    member = level.ring_members[midx]
-    flip = level.ring_flip[midx].astype(bool)
-    off = t_lo[own] - grid[jnp.clip(seg[own], 0, grid.shape[0] - 2)]
-    ln = t_hi[own] - t_lo[own]
-    mi = jnp.clip(member, 0, grid.shape[0] - 2)
-    ts = grid[mi]
-    te = grid[jnp.clip(mi + 1, 1, grid.shape[0] - 1)]
-    nlo = jnp.where(flip, te - off - ln, ts + off)
-    cat = (jnp.concatenate([s_lo, s_lo[own]]),
-           jnp.concatenate([s_hi, s_hi[own]]),
-           jnp.concatenate([t_lo, nlo]),
-           jnp.concatenate([t_hi, nlo + ln]),
-           jnp.concatenate([rev, rev[own] ^ flip.astype(jnp.uint8)]),
-           jnp.concatenate([owner, owner[own]]),
-           jnp.concatenate([valid, v]))
-    return cat, total > cap_out
+    F2 = jnp.stack(
+        [R[0], R[1], nlo, nlo + ln, R[4] ^ flip, R[5],
+         v.astype(dt), jnp.zeros_like(nlo)], axis=0)
+    return jnp.concatenate([F, F2], axis=1), total > cap_out
 
 
-def _final_compact(arrs):
-    """Valid entries are already prefix-dense up to scattered hop/ring
-    holes (each split repacks densely), so no sort is needed: compute the
-    last-valid bound with a max-reduce; the host transfers [:bound] and
-    filters by mask (much cheaper than an argsort compaction on TPU)."""
-    s_lo, s_hi, t_lo, t_hi, rev, owner, valid = arrs
+def _final_bound(F):
+    """Last-valid bound: the host transfers F[:, :bound] and filters by the
+    valid row (cheaper than an argsort compaction on TPU)."""
+    valid = F[C_VALID] > 0
     idx = jnp.arange(valid.shape[0], dtype=jnp.int32)
-    bound = jnp.max(jnp.where(valid, idx + 1, 0))
-    return (s_lo, s_hi, t_lo, t_hi, rev, owner, valid), bound
+    return jnp.max(jnp.where(valid, idx + 1, 0))
 
 
 def _run_path(path: PathData, lo, hi, owner, caps):
-    """Trace the whole path; returns padded fragment arrays + overflow flag."""
+    """Trace the whole path; returns the packed (8, cap) fragment matrix
+    [s_lo, s_hi, t_lo, t_hi, rev, owner, valid, aux], the last-valid bound,
+    the overflow flag and per-level valid totals."""
     n = lo.shape[0]
-    s_lo, s_hi = lo, hi
-    t_lo, t_hi = lo, hi
-    rev = jnp.zeros(n, jnp.uint8)
-    own = owner
-    valid = hi > lo
+    dt = lo.dtype
+    z = jnp.zeros(n, dt)
+    F = jnp.stack([lo, hi, lo, hi, z, owner, (hi > lo).astype(dt), z], axis=0)
     overflow = jnp.asarray(False)
     level_totals = []
     for li, level in enumerate(path.levels):
         cap = caps[li]
-        (s_lo, s_hi, t_lo, t_hi, rev, own, valid, seg), ov1 = _split_by_grid(
-            level.grid, s_lo, s_hi, t_lo, t_hi, rev, own, valid, cap)
+        F, ring_counts, ring_offsets, ov1 = _split_hop(level, F, cap)
         overflow |= ov1
-        s_lo, s_hi, t_lo, t_hi, rev, own, valid, link = _hop(
-            level, s_lo, s_hi, t_lo, t_hi, rev, own, valid, seg)
         if level.kind == "down" and level.max_ring > 0:
-            (s_lo, s_hi, t_lo, t_hi, rev, own, valid), ov2 = _ring_expand(
-                level, s_lo, s_hi, t_lo, t_hi, rev, own, valid, link, cap)
+            F, ov2 = _ring_expand(level, F, ring_counts, ring_offsets, cap)
             overflow |= ov2
-        level_totals.append(jnp.sum(valid.astype(jnp.int32)))
-    compacted, total = _final_compact((s_lo, s_hi, t_lo, t_hi, rev, own, valid))
-    return compacted, total, overflow, jnp.stack(level_totals) if level_totals else jnp.zeros(0, jnp.int32)
+        level_totals.append(jnp.sum((F[C_VALID] > 0).astype(jnp.int32)))
+    bound = _final_bound(F)
+    return F, bound, overflow, (jnp.stack(level_totals) if level_totals
+                                else jnp.zeros(0, jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnames=("caps",))
@@ -353,15 +396,17 @@ def map_batch(path: PathData, lo, hi, owner=None, cap_mult: int = 4):
             if level.kind == "down" and level.max_ring:
                 c = c * min(level.max_ring + 1, 4)
             caps.append(int(c))
-        out, bound, overflow, level_totals = _map_batch_jit(path, lo, hi, owner, tuple(caps))
+        F, bound, overflow, level_totals = _map_batch_jit(path, lo, hi, owner,
+                                                          tuple(caps))
         if not bool(np.asarray(overflow.reshape(1))[0]):
             # transfer only up to the last valid slot (device->host may
             # cross a network tunnel; the padded capacity stays on device)
             k = int(np.asarray(bound.reshape(1))[0])
-            arrs = [np.asarray(x[:k]) for x in out[:6]]
-            mask = np.asarray(out[6][:k]).astype(bool)
-            s_lo, s_hi, t_lo, t_hi, rev, own = [a[mask] for a in arrs]
-            return (s_lo, s_hi, t_lo, t_hi, rev, own)
+            M = np.asarray(F[:, :k])
+            mask = M[C_VALID].astype(bool)
+            M = M[:, mask]
+            return (M[C_SLO], M[C_SHI], M[C_TLO], M[C_THI],
+                    M[C_REV], M[C_OWN])
         mult *= 2
         if mult > 4096:
             raise RuntimeError("segment-map capacity blowup")

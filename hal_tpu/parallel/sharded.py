@@ -18,7 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from hal_tpu.ops.segmap_jax import PathData, _run_path
+from hal_tpu.ops.segmap_jax import (PathData, _run_path,
+                                    C_TLO, C_THI, C_VALID)
 
 
 def make_mesh(n_data: int, n_coord: int = 1, devices=None) -> Mesh:
@@ -36,7 +37,10 @@ def make_sharded_step(path: PathData, caps: tuple, tgt_len: int, n_bins: int, me
     assert n_bins % n_coord == 0
 
     def local_step(lo, hi, owner):
-        (s_lo, s_hi, t_lo, t_hi, rev, own, valid), _total, _ovf, _lt = _run_path(path, lo, hi, owner, caps)
+        F, _bound, _ovf, _lt = _run_path(path, lo, hi, owner, caps)
+        t_lo = F[C_TLO]
+        t_hi = F[C_THI]
+        valid = F[C_VALID] > 0
         # local coverage histogram over target bins (alignment-depth shape;
         # exact per-base depth uses diff+cumsum in ops/depth)
         bin_of = jnp.clip(t_lo * n_bins // max(tgt_len, 1), 0, n_bins - 1)
@@ -47,12 +51,12 @@ def make_sharded_step(path: PathData, caps: tuple, tgt_len: int, n_bins: int, me
         k = n_bins // n_coord
         ci = jax.lax.axis_index("coord")
         cov_shard = jax.lax.dynamic_slice(cov, (ci * k,), (k,))
-        return (s_lo, s_hi, t_lo, t_hi, rev, own, valid), cov_shard
+        return F, cov_shard
 
     step = jax.shard_map(
         local_step, mesh=mesh,
         in_specs=(P("data"), P("data"), P("data")),
-        out_specs=(tuple([P("data")] * 7), P("coord")),
+        out_specs=(P(None, "data"), P("coord")),
         check_vma=False,
     )
     return jax.jit(step)

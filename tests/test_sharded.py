@@ -45,9 +45,15 @@ def test_sharded_step_matches_host_mapper():
                  for l in path.levels)
     n_bins = 16
     step = make_sharded_step(path, caps, tg.length, n_bins, mesh)
-    (s_lo, s_hi, t_lo, t_hi, rev, own, valid), cov = step(
-        *shard_batch(mesh, lo, hi, owner))
+    F, cov = step(*shard_batch(mesh, lo, hi, owner))
     jax.block_until_ready(cov)
+
+    from hal_tpu.ops import segmap_jax as sjx
+
+    M = np.asarray(F)  # (8, total_cap), fragments sharded along axis 1
+    s_lo, s_hi = M[sjx.C_SLO], M[sjx.C_SHI]
+    t_lo, t_hi = M[sjx.C_TLO], M[sjx.C_THI]
+    rev, own, valid = M[sjx.C_REV], M[sjx.C_OWN], M[sjx.C_VALID]
 
     # collective-plumbing oracle: the psum/scatter histogram must equal the
     # histogram recomputed on host from the device's own valid fragments
