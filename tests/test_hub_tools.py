@@ -1,0 +1,111 @@
+"""Tests for the assembly-hub family: track generators (native GC /
+mask signals), hal2assemblyHub artifacts, halGenerateComparisonHub,
+halCoverageTable, blockVizBenchmark, halLodBenchmark."""
+
+import io
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def run_tool(tool, *args):
+    return subprocess.run(
+        [sys.executable, "-m", "hal_tpu.tools." + tool, *args],
+        capture_output=True, text=True, timeout=600,
+    )
+
+
+@pytest.fixture(scope="module")
+def hal(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("hub") / "t.halz")
+    r = run_tool("halRandGen", p, "--seed", "2", "--maxGenomes", "5",
+                 "--maxSegments", "40", "--maxSegmentLength", "25")
+    assert r.returncode == 0, r.stderr
+    return p
+
+
+def test_gc_percent_wig_known_sequence():
+    from hal_tpu.assemblyhub import gc_percent_wig
+    from hal_tpu.genome import GenomeArrays, SequenceInfo
+    from hal_tpu.dna import pack_dna
+
+    g = GenomeArrays.create("g", [SequenceInfo("s", 10)])
+    g.dna = pack_dna("GGGGGAATTC")
+    out = io.StringIO()
+    gc_percent_wig(g, out, win=5)
+    lines = out.getvalue().splitlines()
+    assert lines[0] == "fixedStep chrom=s start=1 step=5 span=5"
+    assert lines[1:] == ["100", "20"]
+
+
+def test_masked_bed_runs():
+    from hal_tpu.assemblyhub import masked_bed
+    from hal_tpu.genome import GenomeArrays, SequenceInfo
+    from hal_tpu.dna import pack_dna
+
+    g = GenomeArrays.create("g", [SequenceInfo("s", 12)])
+    g.dna = pack_dna("AAacgtACGTtt")
+    out = io.StringIO()
+    n = masked_bed(g, out)
+    assert n == 2
+    assert out.getvalue() == "s\t2\t6\ns\t10\t12\n"
+
+
+def test_hal2assemblyhub(hal, tmp_path):
+    out = str(tmp_path / "hub")
+    r = run_tool("hal2assemblyHub", hal, out, "--gcContent", "--rmsk")
+    assert r.returncode == 0, r.stderr
+    assert os.path.exists(os.path.join(out, "hub.txt"))
+    assert os.path.exists(os.path.join(out, "genomes.txt"))
+    gdirs = [d for d in os.listdir(out) if os.path.isdir(os.path.join(out, d))]
+    assert gdirs
+    g = gdirs[0]
+    tdb = open(os.path.join(out, g, "trackDb.txt")).read()
+    assert "type halSnake" in tdb
+    assert "track gcPercent" in tdb
+    assert "track repeatMasker" in tdb
+    assert os.path.exists(os.path.join(out, g, g + ".gc.wig"))
+    assert os.path.exists(os.path.join(out, g, "chrom.sizes"))
+
+
+def test_comparison_hub(hal, tmp_path):
+    out = str(tmp_path / "chub")
+    r = run_tool("halGenerateComparisonHub", out, hal, hal, "--labels", "x,y")
+    assert r.returncode == 0, r.stderr
+    hub = open(os.path.join(out, "hub.txt")).read()
+    assert "hub x_vs_y" in hub
+    assert os.path.islink(os.path.join(out, "input_0.hal"))
+    gtxt = open(os.path.join(out, "genomes.txt")).read()
+    assert "defaultPos" in gtxt
+    gdir = next(d for d in os.listdir(out)
+                if os.path.isdir(os.path.join(out, d))
+                and not os.path.islink(os.path.join(out, d)))
+    tdb = open(os.path.join(out, gdir, "trackDb.txt")).read()
+    assert "compositeTrack on" in tdb
+    assert "snake%s_x" % gdir in tdb or "snake" in tdb
+
+
+def test_coverage_table(hal, tmp_path):
+    cov = str(tmp_path / "c.txt")
+    r = run_tool("halCoverage", hal, "Genome_3", "--numSamples", "5000")
+    assert r.returncode == 0, r.stderr
+    open(cov, "w").write(r.stdout)
+    r2 = run_tool("halCoverageTable", "--input", cov, "--reference", "Genome_3")
+    assert r2.returncode == 0, r2.stderr
+    assert "Total\tc" in r2.stdout
+    assert "100.00%" in r2.stdout
+    r3 = run_tool("halCoverageTable", "--input", cov, "--reference", "Genome_3",
+                  "--counts")
+    assert "%" not in r3.stdout.replace("100.00%", "")
+
+
+def test_blockviz_benchmark(hal):
+    r = run_tool("blockVizBenchmark", hal, "Genome_1", "--maxLength", "100",
+                 "--queriesPerLevel", "2")
+    assert r.returncode == 0, r.stderr
+    lines = r.stdout.splitlines()
+    assert lines[0].startswith("length, target")
+    assert len(lines) > 1
