@@ -35,12 +35,14 @@ class MafBlockBuilder:
     """Streams slices; emits MAF block strings."""
 
     def __init__(self, aln: Alignment, ref: str, max_block_len: int = DEFAULT_MAX_BLOCK_LEN,
-                 ucsc_names: bool = False):
+                 ucsc_names: bool = False, print_tree: bool = False):
         self.aln = aln
         self.ref = ref
         self.max_len = max_block_len or DEFAULT_MAX_BLOCK_LEN
         self.ucsc_names = ucsc_names
+        self.print_tree = print_tree
         self.entries: list[_Entry] = []
+        self.tree = None            # block gene tree (--printTree)
         self._genomes = {}
 
     def _g(self, name):
@@ -69,8 +71,38 @@ class MafBlockBuilder:
         g = self._g(row.genome)
         return g.get_dna_string(row.tgt_lo, row.tgt_hi - row.tgt_lo, reversed_=row.rev)
 
+    # ---------------------------------------------------------- printTree
+    def _slice_tree(self, sl: Slice):
+        """Gene tree of the slice's first column with labels/entry matches
+        (reference buildTree + getTreeNode, halMafBlock.cpp:160-293)."""
+        from hal_tpu.ops.column import build_gene_tree
+
+        r0 = sl.rows[0]
+        pos0 = (r0.tgt_hi - 1) if r0.rev else r0.tgt_lo
+        tree = build_gene_tree(self.aln, r0.genome, pos0)
+        keys = {}
+        for i, r in enumerate(sl.rows):
+            p = (r.tgt_hi - 1) if r.rev else r.tgt_lo
+            keys[(r.genome, r.seq_idx, p)] = i
+        def label(node):
+            g, si, p, _rev = node.row_key
+            i = keys.get((g, si, p))
+            if i is None:
+                node.label = g
+                node.row_key = None
+            else:
+                node.label = self._name(g, si)
+                node.row_key = ("entry", i)
+            for c in node.children:
+                label(c)
+        label(tree)
+        return tree
+
     def _can_append(self, sl: Slice) -> bool:
         """canAppendColumn at slice granularity (halMafBlock.cpp:401-450)."""
+        if self.print_tree and self.tree is not None:
+            if not sl.rows or not self._slice_tree(sl).same_shape(self.tree):
+                return False
         e = 0
         for row in sl.rows:
             key = (not row.is_ref, row.genome, row.seq_idx)
@@ -91,7 +123,7 @@ class MafBlockBuilder:
         return True
 
     def _append(self, sl: Slice) -> None:
-        n = sl.hi - sl.lo
+        n = sl.width
         e = 0
         for row in sl.rows:
             key = (not row.is_ref, row.genome, row.seq_idx)
@@ -118,11 +150,15 @@ class MafBlockBuilder:
                 name=self._name(row.genome, row.seq_idx),
                 genome=row.genome, seq_idx=row.seq_idx,
                 src_length=src_len, is_ref=row.is_ref))
+        self.tree = (self._slice_tree(sl) if self.print_tree and sl.rows
+                     else None)
 
     def _flush(self) -> str | None:
         live = [e for e in self.entries if e.start != -1]
         if not live:
             return None
+        if self.print_tree and self.tree is not None:
+            return self._flush_with_tree(live)
         out = ["a\n"]
         # reference entry first (printBlock :499-517)
         live.sort(key=lambda e: (not e.is_ref, e.genome, e.seq_idx, e.start))
@@ -132,10 +168,52 @@ class MafBlockBuilder:
                           "".join(e.text)))
         return "".join(out)
 
+    def _flush_with_tree(self, live) -> str:
+        """printBlockWithTree (halMafBlock.cpp:485-497): reference-first
+        child ordering, 'a tree=...' header, s-lines in tree post-order."""
+        # entry index -> entry object for matched nodes
+        def find_ref(node, path):
+            if node.row_key and node.row_key[0] == "entry":
+                e = self.entries[node.row_key[1]]
+                if e.is_ref:
+                    return path + [node]
+            for c in node.children:
+                r = find_ref(c, path + [node])
+                if r:
+                    return r
+            return None
+        path = find_ref(self.tree, [])
+        if path:
+            # bring the reference's node to child slot 0 along its path
+            for parent, child in zip(path, path[1:]):
+                i = parent.children.index(child)
+                parent.children[0], parent.children[i] = (
+                    parent.children[i], parent.children[0])
+        out = ['a tree="%s;"\n' % self.tree.newick()]
+        live_set = {id(e) for e in live}
+        def emit(node):
+            for c in node.children:
+                emit(c)
+            if node.row_key and node.row_key[0] == "entry":
+                e = self.entries[node.row_key[1]]
+                if id(e) in live_set:
+                    live_set.discard(id(e))
+                    out.append("s\t%s\t%d\t%d\t%s\t%d\t%s\n"
+                               % (e.name, e.start, e.length, e.strand,
+                                  e.src_length, "".join(e.text)))
+        emit(self.tree)
+        # any live entries not matched to tree nodes (defensive) last
+        for e in live:
+            if id(e) in live_set:
+                out.append("s\t%s\t%d\t%d\t%s\t%d\t%s\n"
+                           % (e.name, e.start, e.length, e.strand,
+                              e.src_length, "".join(e.text)))
+        return "".join(out)
+
     @staticmethod
     def _split_slice(sl: Slice, k: int) -> tuple[Slice, Slice]:
         """Cut a slice after k columns (maxBlockLen break mid-run)."""
-        mid = sl.lo + k
+        mid = sl.lo if sl.lo == sl.hi else sl.lo + k
         left_rows, right_rows = [], []
         for r in sl.rows:
             if r.rev:
@@ -144,7 +222,8 @@ class MafBlockBuilder:
             else:
                 left_rows.append(Row(r.genome, r.seq_idx, r.tgt_lo, r.tgt_lo + k, False, r.is_ref))
                 right_rows.append(Row(r.genome, r.seq_idx, r.tgt_lo + k, r.tgt_hi, False, r.is_ref))
-        return Slice(sl.lo, mid, left_rows), Slice(mid, sl.hi, right_rows)
+        return (Slice(sl.lo, mid, left_rows, width=k),
+                Slice(mid, sl.hi, right_rows, width=sl.width - k))
 
     def feed(self, slices):
         """Consume slices, yielding finished MAF block strings."""
@@ -152,7 +231,7 @@ class MafBlockBuilder:
         cols = 0
         for sl in slices:
             while sl is not None:
-                n = sl.hi - sl.lo
+                n = sl.width
                 rest = None
                 cur = cols if started else 0
                 if cur + n > self.max_len:
@@ -174,7 +253,7 @@ class MafBlockBuilder:
                         self._init_block(sl)
                         cols = 0
                     self._append(sl)
-                    cols += sl.hi - sl.lo
+                    cols += sl.width
                 if rest is not None:
                     block = self._flush()
                     if block:

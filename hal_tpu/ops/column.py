@@ -29,6 +29,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from hal_tpu.alignment import Alignment
+from hal_tpu.constants import NULL_INDEX
 from hal_tpu.ops import segmap_host as sm
 
 
@@ -46,11 +47,50 @@ class Row:
 
 @dataclass
 class Slice:
-    """Atomic reference slice [lo, hi) with its aligned rows."""
+    """Atomic reference slice [lo, hi) with its aligned rows.
+
+    width: number of alignment columns.  Normally hi - lo; insertion
+    slices (maxRefGap > 0) have lo == hi and width == inserted bases —
+    the reference row shows '-' there (reference handleInsertion,
+    halColumnIterator.cpp:382-440)."""
 
     lo: int
     hi: int
     rows: list = field(default_factory=list)
+    width: int = -1
+
+    def __post_init__(self):
+        if self.width < 0:
+            self.width = self.hi - self.lo
+
+
+@dataclass
+class TreeNode:
+    """Gene-tree node for --printTree (reference MafBlock::buildTreeR,
+    maf/impl/halMafBlock.cpp:203-237): one node per segment visited by the
+    root-down spread; label = entry name when a block row matches, else the
+    genome name (ancestor without sequence output)."""
+
+    genome: str
+    pos: int        # genome coordinate of the column base
+    rev: bool
+    label: str = ""
+    row_key: tuple | None = None   # (genome, seq_idx, fwd_pos, rev) of matched row
+    children: list = field(default_factory=list)
+
+    def newick(self) -> str:
+        if self.children:
+            return "(%s)%s" % (",".join(c.newick() for c in self.children),
+                               self.label)
+        return self.label
+
+    def same_shape(self, other: "TreeNode") -> bool:
+        """Topology+label equality (stTree_equals in canAppendColumn,
+        halMafBlock.cpp:443-448); positions excluded — labels carry
+        genome/sequence identity only."""
+        if self.label != other.label or len(self.children) != len(other.children):
+            return False
+        return all(a.same_shape(b) for a, b in zip(self.children, other.children))
 
 
 def compute_scope(aln: Alignment, ref: str, targets=None, root: str | None = None):
@@ -82,9 +122,142 @@ def window_fragments(aln: Alignment, ref: str, gs: int, ge: int, scope, scope_ro
     return out
 
 
+def _column_root(aln: Alignment, genome: str, pos: int):
+    """Walk up from (genome, pos) to the column's root segment
+    (reference MafBlock::buildTree up-walk, halMafBlock.cpp:258-281).
+    Returns (root_genome_name, root_pos, rev)."""
+    tree = aln.tree
+    rev = False
+    while True:
+        g = aln.open_genome(genome)
+        if g.num_top_segments == 0:
+            return genome, pos, rev
+        i = int(g.top_index_at(pos))
+        pi = int(g.top_parent[i])
+        if pi < 0:
+            return genome, pos, rev
+        parent = tree.parent(genome)
+        pg = aln.open_genome(parent)
+        off = pos - int(g.top_start[i])
+        seg_len = int(g.top_start[i + 1] - g.top_start[i])
+        prev = bool(g.top_parent_reversed[i])
+        ppos = (int(pg.bot_start[pi]) + (seg_len - 1 - off) if prev
+                else int(pg.bot_start[pi]) + off)
+        genome, pos, rev = parent, ppos, rev ^ prev
+
+
+def _tree_node(aln, genome, pos, rev) -> TreeNode:
+    g = aln.open_genome(genome)
+    si = int(np.searchsorted(g.seq_start, pos, side="right")) - 1
+    fwd = pos  # single base; forward coordinate
+    return TreeNode(genome=genome, pos=pos, rev=rev,
+                    row_key=(genome, si, fwd, rev))
+
+
+def _build_tree_down(aln, node: TreeNode) -> None:
+    """Recursive down-spread mirroring MafBlock::buildTreeR
+    (halMafBlock.cpp:203-237): canonical child + its paralogy-ring
+    members, each recursed into."""
+    tree = aln.tree
+    g = aln.open_genome(node.genome)
+    if g.num_bottom_segments == 0:
+        return
+    bi = int(g.bot_index_at(node.pos))
+    off = node.pos - int(g.bot_start[bi])
+    seg_len = int(g.bot_start[bi + 1] - g.bot_start[bi])
+    for slot, child in enumerate(tree.children(node.genome)):
+        j = int(g.bot_child[bi, slot])
+        if j < 0:
+            continue
+        cg = aln.open_genome(child)
+        crev = bool(g.bot_child_reversed[bi, slot])
+        cpos = (int(cg.top_start[j]) + (seg_len - 1 - off) if crev
+                else int(cg.top_start[j]) + off)
+        cn = _tree_node(aln, child, cpos, node.rev ^ crev)
+        node.children.append(cn)
+        _build_tree_down(aln, cn)
+        # paralogy ring of the canonical child segment
+        if cg.top_paralogy.shape[0] and int(cg.top_paralogy[j]) >= 0:
+            coff = cpos - int(cg.top_start[j])
+            m = int(cg.top_paralogy[j])
+            while m != j and m >= 0:
+                mlen = int(cg.top_start[m + 1] - cg.top_start[m])
+                flip = bool(cg.top_parent_reversed[m]) != bool(cg.top_parent_reversed[j])
+                mpos = (int(cg.top_start[m]) + (mlen - 1 - coff) if flip
+                        else int(cg.top_start[m]) + coff)
+                mn = _tree_node(aln, child, mpos, cn.rev ^ flip)
+                node.children.append(mn)
+                _build_tree_down(aln, mn)
+                m = int(cg.top_paralogy[m])
+
+
+def build_gene_tree(aln: Alignment, ref: str, pos: int) -> TreeNode:
+    """Per-column gene tree rooted at the column's root segment
+    (reference MafBlock::buildTree, halMafBlock.cpp:239-293).  Node
+    row_keys identify the slice row (genome, seq_idx, fwd position, rev)
+    so the MAF builder can label nodes with entry names and print s-lines
+    in tree post-order."""
+    genome, rpos, rev = _column_root(aln, ref, pos)
+    root = _tree_node(aln, genome, rpos, rev)
+    _build_tree_down(aln, root)
+    return root
+
+
+def _unaligned_run(gen, lo: int, hi: int) -> bool:
+    """True iff every top segment covering [lo, hi) has no parent — the
+    Rearrangement::identifyInsertionFromLeftBreakpoint criterion (an
+    aligned-elsewhere run is a translocation, not an insertion)."""
+    if gen.num_top_segments == 0:
+        return False
+    i = int(gen.top_index_at(lo))
+    while i < gen.num_top_segments and int(gen.top_start[i]) < hi:
+        if int(gen.top_parent[i]) != NULL_INDEX:
+            return False
+        i += 1
+    return True
+
+
+def insertion_slices(aln: Alignment, frags_by_genome: dict,
+                     max_ref_gap: int) -> dict:
+    """{ref anchor -> [Slice]} of insertion columns: a run of target-genome
+    bases between two target-ADJACENT mapped fragments, unaligned to the
+    target's parent, of length <= max_ref_gap (reference
+    ColumnIterator::handleInsertion, halColumnIterator.cpp:382-401;
+    enabled by hal2maf --maxRefGap).  The anchor is the reference-side end
+    of the ref-earlier flank — where the left-to-right scan crosses the
+    breakpoint and the reference's insertion stack is emitted."""
+    out: dict = {}
+    for gname, f in frags_by_genome.items():
+        gen = aln.open_genome(gname)
+        if gen.num_top_segments == 0:
+            continue
+        by_key: dict = {}
+        for i in range(len(f.src_lo)):
+            si = int(np.searchsorted(gen.seq_start, int(f.tgt_lo[i]), side="right")) - 1
+            by_key.setdefault((si, bool(f.rev[i])), []).append(
+                (int(f.tgt_lo[i]), int(f.tgt_hi[i]), int(f.src_lo[i]), int(f.src_hi[i])))
+        for (si, rev), lst in by_key.items():
+            lst.sort()
+            for (t0, u0, s0, e0), (t1, u1, s1, e1) in zip(lst, lst[1:]):
+                gap = t1 - u0
+                if not (0 < gap <= max_ref_gap):
+                    continue
+                if not _unaligned_run(gen, u0, t1):
+                    continue
+                anchor = min(e0, e1)
+                row = Row(gname, si, u0, t1, rev)
+                out.setdefault(anchor, []).append(
+                    Slice(anchor, anchor, [row], width=gap))
+    for b, sls in out.items():
+        sls.sort(key=lambda s: (s.rows[0].genome, s.rows[0].seq_idx,
+                                s.rows[0].tgt_lo))
+    return out
+
+
 def iter_slices(aln: Alignment, ref: str, gs: int, ge: int,
                 frags_by_genome: dict, no_ancestors: bool = False,
-                unique_start: int | None = None):
+                unique_start: int | None = None,
+                max_ref_gap: int = 0):
     """Yield atomic Slices over [gs, ge).
 
     unique_start: when set (--unique), positions whose column's leftmost
@@ -102,9 +275,18 @@ def iter_slices(aln: Alignment, ref: str, gs: int, ge: int,
     # position among its ref-genome rows
     ref_frags = frags_by_genome.get(ref)
 
+    inserts = (insertion_slices(aln, frags_by_genome, max_ref_gap)
+               if max_ref_gap > 0 else {})
+
     for a, b in zip(bounds, bounds[1:]):
         if b <= a:
             continue
+        # insertion columns anchored at this breakpoint come first
+        # (the inserted bases sit between ref positions a-1 and a)
+        for ins in inserts.pop(a, []):
+            if no_ancestors and not tree.is_leaf(ins.rows[0].genome):
+                continue
+            yield ins
         rows = []
         for g, f in frags_by_genome.items():
             if no_ancestors and not tree.is_leaf(g):
@@ -138,3 +320,9 @@ def iter_slices(aln: Alignment, ref: str, gs: int, ge: int,
         names = {g: g for g in frags_by_genome}
         rows.sort(key=lambda r: (not r.is_ref, r.genome, r.seq_idx, r.tgt_lo, r.rev))
         yield Slice(a, b, rows)
+    # insertions anchored at (or clipped to) the window end
+    for anchor in sorted(inserts):
+        for ins in inserts[anchor]:
+            if no_ancestors and not tree.is_leaf(ins.rows[0].genome):
+                continue
+            yield ins

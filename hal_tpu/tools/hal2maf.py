@@ -24,7 +24,8 @@ def export_window(out, aln, ref, gs, ge, scope, scope_root, o, builder):
                              do_dupes=not (o.noDupes or o.onlyOrthologs))
     slices = iter_slices(aln, ref, gs, ge, frags,
                          no_ancestors=o.noAncestors,
-                         unique_start=gs if o.unique else None)
+                         unique_start=gs if o.unique else None,
+                         max_ref_gap=o.maxRefGap)
     for block in builder.feed(slices):
         out.write(block + "\n")
 
@@ -54,11 +55,6 @@ def run(argv=None):
     add_storage_options(p)
     o = p.parse_args(argv)
 
-    if o.printTree:
-        raise HalError("--printTree is not implemented yet")
-    if o.maxRefGap:
-        raise HalError("--maxRefGap > 0 is not implemented yet")
-
     aln = open_alignment(o.halFile)
     ref = o.refGenome or aln.root_name
     if ref not in aln.tree:
@@ -75,7 +71,8 @@ def run(argv=None):
 
     g = aln.open_genome(ref)
     builder = MafBlockBuilder(aln, ref, max_block_len=o.maxBlockLen,
-                              ucsc_names=not o.onlySequenceNames)
+                              ucsc_names=not o.onlySequenceNames,
+                              print_tree=o.printTree)
 
     def windows():
         if o.refTargets:

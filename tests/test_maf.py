@@ -125,3 +125,57 @@ def test_ref_coverage_complete():
         r = block[0]
         seen.extend(range(r.start, r.start + r.size))
     assert sorted(seen) == list(range(25))
+
+
+def test_max_ref_gap_insertion_columns():
+    """A's T3 (unaligned to Anc) must surface as an insertion block when
+    ref=Anc and maxRefGap >= 5 (reference handleInsertion,
+    halColumnIterator.cpp:382)."""
+    aln = three_genome_alignment()
+    scope, root = compute_scope(aln, "Anc")
+    frags = window_fragments(aln, "Anc", 0, 30, scope, root)
+
+    def export(gap):
+        slices = iter_slices(aln, "Anc", 0, 30, frags, max_ref_gap=gap)
+        b = MafBlockBuilder(aln, "Anc", ucsc_names=True)
+        return "\n".join(b.feed(slices))
+
+    base = export(0)
+    assert "TAATA" not in base  # T3's bases absent without maxRefGap
+    got = export(10)
+    # the insertion renders as a ref gap with A's bases inline, and both
+    # rows continue through it (entry-continuation append rules)
+    assert "s\tAnc.Anc_seq\t10\t15\t+\t30\tGTGGT-----GGGGTCTGAC" in got
+    assert "s\tA.A_seq\t10\t15\t+\t25\tGTGGTTAATA-----CTGAC" in got
+    # too-small budget suppresses it again
+    assert export(4) == base
+
+
+def test_print_tree_blocks():
+    """--printTree: 'a tree=...' headers with entry labels, s-lines in
+    post-order, dupe ring members as siblings (reference
+    printBlockWithTree, halMafBlock.cpp:485-497)."""
+    aln = three_genome_alignment()
+    scope, root = compute_scope(aln, "Anc")
+    frags = window_fragments(aln, "Anc", 0, 30, scope, root)
+    slices = iter_slices(aln, "Anc", 0, 30, frags)
+    b = MafBlockBuilder(aln, "Anc", ucsc_names=True, print_tree=True)
+    blocks = list(b.feed(slices))
+    assert all(blk.startswith('a tree="') for blk in blocks)
+    # the dup block at Anc 10-15 has both B paralogs as siblings
+    dup = next(blk for blk in blocks if blk.count("s\tB.B_seq") == 2)
+    assert '(A.A_seq,B.B_seq,B.B_seq)Anc.Anc_seq;' in dup
+    # s-lines follow the tree's post-order: children before the root entry
+    lines = [l for l in dup.splitlines() if l.startswith("s\t")]
+    assert lines[-1].split("\t")[1] == "Anc.Anc_seq"
+
+
+def test_gene_tree_shape_equality():
+    from hal_tpu.ops.column import build_gene_tree
+
+    aln = three_genome_alignment()
+    t1 = build_gene_tree(aln, "Anc", 0)
+    t2 = build_gene_tree(aln, "Anc", 1)
+    # labels unset -> same genome topology
+    assert t1.genome == t2.genome == "Anc"
+    assert [c.genome for c in t1.children] == [c.genome for c in t2.children]
