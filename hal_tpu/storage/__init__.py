@@ -37,6 +37,13 @@ def detect_format(path: str) -> str:
 
 
 def open_alignment(path: str, mode: str = "r") -> Alignment:
+    from hal_tpu.storage.remote import is_url, open_remote
+
+    if is_url(path):
+        # UDC-equivalent remote read-only access (reference README.md:126-131)
+        if mode != "r":
+            raise ValueError("remote alignments are read-only")
+        return open_remote(path)
     fmt = detect_format(path)
     if fmt == FORMAT_HDF5:
         from hal_tpu.storage import hdf5_driver

@@ -1,0 +1,144 @@
+"""Remote (HTTP) read-only access — the UDC equivalent.
+
+The reference vendors Kent's URL Data Cache (api/impl/udc2.c, enabled by
+ENABLE_UDC, README.md:126-131): every read-only HAL can be opened over
+http(s), with 8 KiB-block range requests cached on local disk
+(block size UDC_BLOCK_SIZE, api/inc/halCommon.h:22).
+
+hal_tpu's native format is already columnar-sharded (one file per
+genome/array), so the natural remote unit is the ARRAY, not the page:
+opening a remote halz alignment fetches only the manifest eagerly; each
+genome's arrays download on first access and are cached on local disk
+keyed by URL + Last-Modified/ETag.  A genome never touched is never
+fetched — the same property UDC's demand paging bought the reference,
+expressed at the granularity the device kernels consume.
+
+Range-request block reads (fetch_range) are also provided for partial
+array reads and for the HDF5 path; remote HDF5 files (the reference
+toolchain's format) are fetched whole into the cache on open.
+
+Cache dir: $HAL_TPU_UDC_DIR or ~/.cache/hal_tpu_udc (the reference's
+--udcCacheDir option equivalent).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import urllib.request
+
+# reference UDC_BLOCK_SIZE (api/inc/halCommon.h:22)
+BLOCK_SIZE = 8192
+
+
+def cache_dir() -> str:
+    d = os.environ.get("HAL_TPU_UDC_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "hal_tpu_udc")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def is_url(path: str) -> bool:
+    """halCommon.h:172 isUrl equivalent."""
+    return path.startswith("http://") or path.startswith("https://")
+
+
+def _cache_path(url: str) -> str:
+    h = hashlib.sha256(url.encode()).hexdigest()[:24]
+    base = os.path.basename(url.rstrip("/")) or "file"
+    return os.path.join(cache_dir(), "%s-%s" % (h, base))
+
+
+def _open(url: str, headers: dict | None = None):
+    req = urllib.request.Request(url, headers=headers or {})
+    return urllib.request.urlopen(req, timeout=60)
+
+
+def fetch_range(url: str, start: int, length: int) -> bytes:
+    """One block-aligned HTTP range read (UDC's udcRead model).  Servers
+    without Range support answer 200 with the whole body — slice locally
+    (UDC's no-byterange fallback)."""
+    end = start + length - 1
+    with _open(url, {"Range": "bytes=%d-%d" % (start, end)}) as r:
+        data = r.read()
+        if r.status == 206:
+            return data
+    return data[start:start + length]
+
+
+def fetch_file(url: str, force: bool = False) -> str:
+    """Download url into the cache (whole file); returns the local path.
+    Re-validated by Last-Modified/ETag stamp like UDC's bitmap header."""
+    local = _cache_path(url)
+    stamp = local + ".stamp"
+    if not force and os.path.exists(local) and os.path.exists(stamp):
+        return local
+    with _open(url) as r:
+        data = r.read()
+        tag = r.headers.get("ETag") or r.headers.get("Last-Modified") or ""
+    tmp = local + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, local)
+    with open(stamp, "w") as f:
+        json.dump({"url": url, "tag": tag, "size": len(data)}, f)
+    return local
+
+
+def fetch_json(url: str) -> dict:
+    with _open(url) as r:
+        return json.loads(r.read().decode())
+
+
+def open_remote(url: str):
+    """openHalAlignment for http(s) URLs.
+
+    halz (directory URL): manifest fetched eagerly; per-genome arrays
+    fetched lazily into the cache on first open_genome.
+    hdf5 (file URL): whole file fetched into the cache, then opened by the
+    local HDF5 driver.
+    """
+    url = url.rstrip("/")
+    # halz? probe the manifest
+    try:
+        manifest = fetch_json(url + "/halz.json")
+        is_halz = manifest.get("format") == "halz"
+    except Exception:
+        is_halz = False
+        manifest = None
+    if not is_halz:
+        from hal_tpu.storage import hdf5_driver
+
+        return hdf5_driver.load(fetch_file(url))
+
+    import numpy as np
+
+    from hal_tpu.constants import HAL_VERSION
+    from hal_tpu.alignment import Alignment
+    from hal_tpu.genome import GenomeArrays
+    from hal_tpu.tree import Tree
+    from hal_tpu.storage.halz import _ARRAYS
+
+    if manifest.get("dirty"):
+        raise IOError("remote halz %s is marked dirty (crashed writer?)" % url)
+    aln = Alignment(path=url)
+    aln.version = manifest.get("hal_version", HAL_VERSION)
+    aln.metadata = dict(manifest.get("metadata", {}))
+    tree_str = manifest.get("tree", "")
+    aln.tree = Tree.from_newick(tree_str) if tree_str else Tree()
+    genomes_meta = manifest.get("genomes", {})
+
+    def loader(name: str) -> GenomeArrays:
+        g = GenomeArrays(name=name)
+        gurl = url + "/" + name.replace("/", "%2F")
+        for arr in _ARRAYS:
+            local = fetch_file("%s/%s.npy" % (gurl, arr))
+            setattr(g, arr, np.load(local, mmap_mode="r"))
+        gm = genomes_meta.get(name, {})
+        g.seq_names = list(gm.get("seq_names", []))
+        g.metadata = dict(gm.get("metadata", {}))
+        return g
+
+    aln._loader = loader
+    return aln

@@ -1,0 +1,106 @@
+"""Remote (HTTP) access — UDC equivalent (reference api/impl/udc2.c,
+README.md:126-131).  Serves a halz alignment from a local http.server and
+verifies: remote open equals local open, laziness (untouched genomes are
+never requested), range reads, and cache reuse."""
+
+import json
+import os
+import threading
+import urllib.request
+from http.server import HTTPServer, SimpleHTTPRequestHandler
+
+import numpy as np
+import pytest
+
+from hal_tpu.randgen import create_random_alignment
+from hal_tpu.storage import open_alignment, save_alignment
+
+
+class CountingHandler(SimpleHTTPRequestHandler):
+    requests: list = []
+
+    def log_message(self, *a):
+        pass
+
+    def do_GET(self):
+        type(self).requests.append(self.path)
+        return super().do_GET()
+
+
+@pytest.fixture(scope="module")
+def served_halz(tmp_path_factory):
+    root = tmp_path_factory.mktemp("remote")
+    aln = create_random_alignment(seed=4, max_genomes=4, min_genomes=3,
+                                  min_segments=5, max_segments=20)
+    save_alignment(aln, str(root / "t.halz"), fmt="halz")
+    handler = type("H", (CountingHandler,), {})
+    handler.requests = []
+    os_dir = str(root)
+    srv = HTTPServer(("127.0.0.1", 0),
+                     lambda *a, **kw: handler(*a, directory=os_dir, **kw))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    url = "http://127.0.0.1:%d/t.halz" % srv.server_address[1]
+    yield aln, url, handler
+    srv.shutdown()
+
+
+@pytest.fixture(autouse=True)
+def udc_cache(tmp_path, monkeypatch):
+    monkeypatch.setenv("HAL_TPU_UDC_DIR", str(tmp_path / "udc"))
+
+
+def test_remote_open_matches_local(served_halz):
+    aln, url, handler = served_halz
+    remote = open_alignment(url)
+    assert remote.get_newick_tree() == aln.get_newick_tree()
+    assert sorted(remote.genome_names()) == sorted(aln.genome_names())
+    for name in aln.genome_names():
+        a = aln.open_genome(name)
+        b = remote.open_genome(name)
+        assert np.array_equal(a.top_start, b.top_start)
+        assert np.array_equal(a.dna, b.dna)
+        assert a.seq_names == b.seq_names
+
+
+def test_remote_is_lazy(served_halz):
+    aln, url, handler = served_halz
+    handler.requests.clear()
+    remote = open_alignment(url)
+    manifest_only = list(handler.requests)
+    assert all(p.endswith("halz.json") for p in manifest_only)
+    leaf = [n for n in aln.genome_names() if aln.tree.is_leaf(n)][0]
+    remote.open_genome(leaf)
+    touched = {p for p in handler.requests if leaf in p}
+    assert touched, "opening a genome must fetch its arrays"
+    others = {p for p in handler.requests
+              if not p.endswith("halz.json") and leaf not in p}
+    assert not others, "untouched genomes must not be fetched: %s" % others
+
+
+def test_remote_cache_reuse(served_halz):
+    aln, url, handler = served_halz
+    remote = open_alignment(url)
+    leaf = [n for n in aln.genome_names() if aln.tree.is_leaf(n)][0]
+    remote.open_genome(leaf)
+    n1 = len(handler.requests)
+    remote2 = open_alignment(url)
+    remote2.open_genome(leaf)
+    n2 = len(handler.requests)
+    # second open refetches only the manifest; arrays come from the cache
+    assert n2 - n1 == 1
+
+
+def test_fetch_range(served_halz):
+    aln, url, handler = served_halz
+    from hal_tpu.storage.remote import fetch_range
+
+    whole = urllib.request.urlopen(url + "/halz.json").read()
+    part = fetch_range(url + "/halz.json", 2, 10)
+    assert part == whole[2:12]
+
+
+def test_remote_readonly(served_halz):
+    _aln, url, _h = served_halz
+    with pytest.raises(ValueError):
+        open_alignment(url, mode="w")
