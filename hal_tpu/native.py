@@ -36,6 +36,10 @@ def _load():
     lib.ht_extract_runs_simple.restype = ctypes.c_int64
     lib.ht_substitution_stats.restype = ctypes.c_int64
     lib.ht_unpack_dna.restype = ctypes.c_int64
+    for name in ("ht_parse_fixed_values", "ht_parse_varstep_values",
+                 "ht_format_wiggle_values", "ht_scatter_values"):
+        if hasattr(lib, name):
+            getattr(lib, name).restype = ctypes.c_int64
     _lib = lib
     return _lib
 
@@ -149,3 +153,64 @@ def unpack_dna(packed, start: int, length: int) -> np.ndarray:
     lib.ht_unpack_dna(_pu8(np.ascontiguousarray(packed, np.uint8)),
                       ctypes.c_int64(start), ctypes.c_int64(length), _pu8(out))
     return out
+
+
+def _pf64(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def parse_fixed_values(chunk: bytes) -> np.ndarray:
+    """Parse a fixedStep numeric chunk (one value per line) -> float64."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not available")
+    cap = chunk.count(b"\n") + 2
+    out = np.empty(cap, np.float64)
+    n = lib.ht_parse_fixed_values(chunk, ctypes.c_int64(len(chunk)),
+                                  _pf64(out), ctypes.c_int64(cap))
+    if n < 0:
+        raise ValueError("wiggle value parse error (code %d)" % n)
+    return out[:n]
+
+
+def parse_varstep_values(chunk: bytes):
+    """Parse a variableStep chunk ('pos value' lines) -> (pos0based, vals)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not available")
+    cap = chunk.count(b"\n") + 2
+    pos = np.empty(cap, np.int64)
+    val = np.empty(cap, np.float64)
+    n = lib.ht_parse_varstep_values(chunk, ctypes.c_int64(len(chunk)),
+                                    _p64(pos), _pf64(val), ctypes.c_int64(cap))
+    if n < 0:
+        raise ValueError("wiggle value parse error (code %d)" % n)
+    return pos[:n], val[:n]
+
+
+def format_wiggle_values(vals) -> bytes:
+    """'%g\\n'-format a value array (the wiggle emitters' inner loop)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not available")
+    v = np.ascontiguousarray(vals, np.float64)
+    cap = max(len(v) * 24 + 64, 4096)
+    while True:
+        out = ctypes.create_string_buffer(cap)
+        w = lib.ht_format_wiggle_values(_pf64(v), ctypes.c_int64(len(v)),
+                                        out, ctypes.c_int64(cap))
+        if w >= 0:
+            return out.raw[:w]
+        cap = int(-w) + cap
+
+
+def scatter_values(pos, val, tile: np.ndarray, mask: np.ndarray) -> None:
+    """Last-writer-wins scatter into a dense tile (WiggleTiles model)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not available")
+    p = np.ascontiguousarray(pos, np.int64)
+    v = np.ascontiguousarray(val, np.float64)
+    assert tile.dtype == np.float64 and mask.dtype == np.uint8
+    lib.ht_scatter_values(_p64(p), _pf64(v), ctypes.c_int64(len(p)),
+                          _pf64(tile), _pu8(mask), ctypes.c_int64(len(tile)))

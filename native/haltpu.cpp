@@ -185,4 +185,89 @@ int64_t ht_unpack_dna(const uint8_t *packed, int64_t start, int64_t len,
     return len;
 }
 
+// ---------------------------------------------------------------------------
+// Wiggle value parsing (reference liftover/impl/halWiggleScanner.cpp).
+// The Python reader locates the (rare) fixedStep/variableStep header lines
+// and hands the dense numeric chunks between them to these parsers.
+// ---------------------------------------------------------------------------
+int64_t ht_parse_fixed_values(const char *buf, int64_t len,
+                              double *out, int64_t cap) {
+    int64_t n = 0;
+    const char *p = buf;
+    const char *end = buf + len;
+    while (p < end) {
+        while (p < end && (*p == '\n' || *p == '\r' || *p == ' ' || *p == '\t')) ++p;
+        if (p >= end) break;
+        if (n >= cap) return -2;
+        char *q;
+        out[n++] = strtod(p, &q);
+        if (q == p) return -1;
+        p = q;
+    }
+    return n;
+}
+
+// variableStep chunks: "<pos> <value>" per line (1-based positions).
+int64_t ht_parse_varstep_values(const char *buf, int64_t len,
+                                int64_t *pos, double *val, int64_t cap) {
+    int64_t n = 0;
+    const char *p = buf;
+    const char *end = buf + len;
+    while (p < end) {
+        while (p < end && (*p == '\n' || *p == '\r' || *p == ' ' || *p == '\t')) ++p;
+        if (p >= end) break;
+        if (n >= cap) return -2;
+        char *q;
+        long long ip = strtoll(p, &q, 10);
+        if (q == p) return -1;
+        p = q;
+        double v = strtod(p, &q);
+        if (q == p) return -1;
+        pos[n] = ip - 1;  // 0-based
+        val[n] = v;
+        ++n;
+        p = q;
+    }
+    return n;
+}
+
+// ---------------------------------------------------------------------------
+// Wiggle value formatting: one %g per line (the hal2* wiggle emitters'
+// inner loop; Python string formatting dominates genome-scale outputs).
+// Returns bytes written, or -(needed) if cap too small.
+// ---------------------------------------------------------------------------
+int64_t ht_format_wiggle_values(const double *vals, int64_t n,
+                                char *out, int64_t cap) {
+    char *w = out;
+    char *lim = out + cap;
+    for (int64_t i = 0; i < n; ++i) {
+        if (w + 32 >= lim) return -(int64_t)((w - out) + (n - i) * 32 + 1);
+        double v = vals[i];
+        long long iv = (long long)v;
+        // integral fast path, bounded where "%g" also prints plain digits
+        if ((double)iv == v && v > -1e6 && v < 1e6) {
+            w += sprintf(w, "%lld\n", iv);
+        } else {
+            w += snprintf(w, 32, "%g\n", v);
+        }
+    }
+    return w - out;
+}
+
+// ---------------------------------------------------------------------------
+// Dense signal accumulation (reference WiggleTiles<T>,
+// liftover/inc/halWiggleTiles.h:55-114): scatter values into a tile,
+// last-writer-wins (matching the reference's overwrite semantics).
+// ---------------------------------------------------------------------------
+int64_t ht_scatter_values(const int64_t *pos, const double *val, int64_t n,
+                          double *tile, uint8_t *mask, int64_t tile_len) {
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t p = pos[i];
+        if (p < 0 || p >= tile_len) continue;
+        tile[p] = val[i];
+        mask[p] = 1;
+    }
+    return 0;
+}
+
 }  // extern "C"

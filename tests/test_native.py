@@ -56,3 +56,43 @@ def test_unpack_dna_matches():
     for start, ln in [(0, 333), (1, 100), (7, 13), (330, 3)]:
         assert bytes(native.unpack_dna(packed, start, ln)) == \
             dna.unpack_dna(packed, start, ln).tobytes()
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_wiggle_parse_matches_python():
+    import io
+    import numpy as np
+    from hal_tpu.io.wiggle import read_wiggle_bytes, _read_wiggle_lines
+
+    wig = ("fixedStep chrom=cA start=3 step=2 span=2\n1\n2.5\n-3e2\n"
+           "variableStep chrom=cB span=3\n10 7\n20 8.25\n"
+           "fixedStep chrom=cC start=1 step=1\n0\n")
+    fast = list(read_wiggle_bytes(wig.encode()))
+    slow = list(_read_wiggle_lines(io.StringIO(wig)))
+    assert len(fast) == len(slow) == 3
+    for (s1, p1, v1), (s2, p2, v2) in zip(fast, slow):
+        assert s1 == s2
+        assert np.array_equal(p1, p2)
+        assert np.array_equal(v1, v2)
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_wiggle_format_matches_python():
+    import numpy as np
+
+    vals = np.array([1.0, 2.5, -3.0, 0.125, 1e6, 7])
+    got = native.format_wiggle_values(vals).decode()
+    want = "".join("%g\n" % x for x in vals)
+    assert got == want
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_scatter_values():
+    import numpy as np
+
+    tile = np.zeros(10, np.float64)
+    mask = np.zeros(10, np.uint8)
+    native.scatter_values(np.array([1, 3, 1, 99]), np.array([5.0, 6.0, 7.0, 8.0]),
+                          tile, mask)
+    assert tile[1] == 7.0 and tile[3] == 6.0  # last writer wins, OOB dropped
+    assert mask[1] == 1 and mask[3] == 1 and mask.sum() == 2
