@@ -95,14 +95,18 @@ def main():
     t0 = time.time()
     _F, _b, ovf, level_totals = sj._map_batch_jit(path, *sub, caps_s)
     assert not bool(np.asarray(jnp.reshape(ovf, (1,)))[0]), "sizing overflow"
-    lt = np.asarray(level_totals)
+    lt = np.asarray(level_totals)  # (n_levels, 2): split/ring valid counts
     sys.stderr.write("sizing pass: %.1fs, level totals %s\n"
                      % (time.time() - t0, lt.tolist()))
 
     def round_up(x):
         return int(-(-int(x) // 8192) * 8192)
 
-    caps = tuple(round_up(x * (N_INTERVALS // M) * 1.4) for x in lt)
+    scale = (N_INTERVALS // M) * 1.4
+    caps = tuple(
+        (round_up(sv * scale), round_up(max(rv * scale, 8192)))
+        if (l.kind == "down" and l.max_ring) else round_up(sv * scale)
+        for (sv, rv), l in zip(lt, path.levels))
     t0 = time.time()
     F, bound, ovf, level_totals = sj._map_batch_jit(path, lo_d, hi_d, own_d, caps)
     assert not bool(np.asarray(jnp.reshape(ovf, (1,)))[0]), "tight capacity overflow"

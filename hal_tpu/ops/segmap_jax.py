@@ -20,10 +20,9 @@ TPU layout notes (the hot-path design, measured on v5e):
     fragment j reads ONE tile (jnp.take axis=1), ~9x faster than eight
     separate 1-D gathers.  (The row-major (cap, 8) alternative pads the
     lane axis 32x — 4 GiB for a 128 MiB matrix — do not use it.)
-  * per-level segment metadata is packed the same way: seg_table (4, m)
-    rows [start, next_start, link, link_reversed] and dst_tab (4, m_dst)
-    rows [dst_start, ring_count, ring_offset, 0] — one column gather per
-    hop instead of five,
+  * per-level segment metadata is packed the same way, with all
+    link-dependent values pre-joined on host into one (8, m) seg_table —
+    one column gather per hop instead of five,
   * the expansion owner index (which input owns output slot j) is computed
     with scatter-max + cummax over the slot range — NOT
     searchsorted(method='sort'); a bitonic sort per level is the single
@@ -78,15 +77,19 @@ def _searchsorted_right(grid, q):
 
 @dataclass(frozen=True)
 class Level:
-    """One traversal level's device arrays (packed (fields, n) tables)."""
+    """One traversal level's device arrays (packed (fields, n) tables).
+
+    All link-dependent values (destination start, ring CSR row) are
+    PRE-JOINED into seg_table on host — they are pure functions of the
+    segment index, so the device needs ONE column gather per hop instead
+    of a second indirection through a dst table."""
 
     kind: str  # 'up' | 'down'
     # sorted split grid: segment starts incl. end sentinel (n_seg+1)
     grid: jnp.ndarray
-    # (4, n_seg) rows: [start, next_start, link, link_reversed]
+    # (8, n_seg) rows: [start, next_start, dst_start, link_reversed,
+    #                   has_link, ring_count, ring_offset, 0]
     seg_table: jnp.ndarray
-    # (4, n_dst) rows: [dst_start, ring_count, ring_offset, 0]; indexed by link
-    dst_tab: jnp.ndarray
     # (4, nnz) rows: [member_start, member_next_start, flip, 0] (down+dupes)
     ring_mem_tab: jnp.ndarray
     max_ring: int
@@ -117,11 +120,27 @@ class PathData:
 
         def pack4(*cols):
             n = len(cols[0])
-            m = np.zeros((4, max(n, 1)), np_dtype)
+            m = np.zeros((max(len(cols), 4), max(n, 1)), np_dtype)
             for k, c in enumerate(cols):
                 if n:
                     m[k, :] = c
             return jnp.asarray(m)
+
+        def seg_tab(starts, link, lrev, dst_start, rc, ro):
+            """Pre-join the link hop (host): [start, next, dst_start, lrev,
+            has_link, ring_count, ring_offset, 0] — link-dependent values
+            are pure functions of the segment index, so the device does ONE
+            column gather per hop instead of a second indirection."""
+            n_seg = len(link)
+            link = np.asarray(link, np.int64)
+            lc = np.clip(link, 0, max(len(dst_start) - 1, 0))
+            has = (link != NULL_INDEX).astype(np.int64)
+            ds = (dst_start[lc] if len(dst_start) else np.zeros(n_seg, np.int64)) * has
+            rcj = (rc[lc] if len(rc) else np.zeros(n_seg, np.int64)) * has
+            roj = (ro[lc] if len(ro) else np.zeros(n_seg, np.int64)) * has
+            z = np.zeros(n_seg, np.int64)
+            return pack4(starts[:n_seg], starts[1:n_seg + 1], ds,
+                         np.asarray(lrev, np.int64), has, rcj, roj, z)
 
         levels = []
         cur = src
@@ -131,13 +150,13 @@ class PathData:
             parent = tree.parent(cur)
             pg = aln.open_genome(parent)
             n_seg = g.num_top_segments
+            z0 = np.zeros(0, np.int64)
             levels.append(Level(
                 kind="up",
                 grid=A(g.top_start),
-                seg_table=pack4(g.top_start[:n_seg], g.top_start[1:n_seg + 1],
-                                g.top_parent[:n_seg],
-                                g.top_parent_reversed[:n_seg].astype(np.int64)),
-                dst_tab=pack4(pg.bot_start[:pg.num_bottom_segments]),
+                seg_table=seg_tab(g.top_start, g.top_parent[:n_seg],
+                                  g.top_parent_reversed[:n_seg],
+                                  pg.bot_start[:pg.num_bottom_segments], z0, z0),
                 ring_mem_tab=pack4(np.zeros(0, np.int64)),
                 max_ring=0,
             ))
@@ -168,9 +187,8 @@ class PathData:
                 levels.append(Level(
                     kind="down",
                     grid=A(g.bot_start),
-                    seg_table=pack4(g.bot_start[:n_seg], g.bot_start[1:n_seg + 1],
-                                    link, lrev),
-                    dst_tab=pack4(cg.top_start[:nd], rc[:nd], ro[:nd]),
+                    seg_table=seg_tab(g.bot_start, link, lrev,
+                                      cg.top_start[:nd], rc[:nd], ro[:nd]),
                     ring_mem_tab=pack4(cg.top_start[mem] if len(mem) else mem,
                                        cg.top_start[mem + 1] if len(mem) else mem,
                                        rf.astype(np.int64)),
@@ -181,15 +199,14 @@ class PathData:
 
 
 def _level_flatten(lv: Level):
-    children = (lv.grid, lv.seg_table, lv.dst_tab, lv.ring_mem_tab)
+    children = (lv.grid, lv.seg_table, lv.ring_mem_tab)
     aux = (lv.kind, lv.max_ring)
     return children, aux
 
 
 def _level_unflatten(aux, children):
     return Level(kind=aux[0], max_ring=aux[1], grid=children[0],
-                 seg_table=children[1], dst_tab=children[2],
-                 ring_mem_tab=children[3])
+                 seg_table=children[1], ring_mem_tab=children[2])
 
 
 jax.tree_util.register_pytree_node(Level, _level_flatten, _level_unflatten)
@@ -282,7 +299,8 @@ def _split_hop(level: Level, F, cap_out):
     j = jnp.arange(cap_out, dtype=dt)
     k = j - R[6]
     seg = jnp.clip(R[7] + k, 0, m - 1)
-    ST = _rows(jnp.take(level.seg_table, seg, axis=1))  # [start, next, link, lrev]
+    # one gather: [start, next, dst_start, lrev, has_link, ring_count, ring_offset]
+    ST = _rows(jnp.take(level.seg_table, seg, axis=1))
     p_lo = jnp.maximum(R[C_TLO], ST[0])
     p_hi = jnp.minimum(R[C_THI], ST[1])
     rev = R[C_REV]
@@ -290,13 +308,10 @@ def _split_hop(level: Level, F, cap_out):
     s_lo = R[C_SLO] + adv
     ln = p_hi - p_lo
     v = (j < total) & (ln > 0)
-    # hop across the link
-    link = ST[2]
+    # hop across the (pre-joined) link
     lrev = ST[3]
-    DT = _rows(jnp.take(level.dst_tab,
-                        jnp.clip(link, 0, level.dst_tab.shape[1] - 1), axis=1))
-    has = v & (link != NULL_INDEX)
-    ds = DT[0]
+    has = v & (ST[4] > 0)
+    ds = ST[2]
     off = p_lo - ST[0]
     mirrored = ST[1] - p_hi
     new_lo = jnp.where(lrev > 0, ds + mirrored, ds + off)
@@ -304,8 +319,8 @@ def _split_hop(level: Level, F, cap_out):
     Fout = jnp.stack(
         [s_lo, s_lo + ln, new_lo, new_lo + ln, new_rev, R[C_OWN],
          has.astype(dt), ds], axis=0)
-    ring_counts = jnp.where(has, DT[1], 0)
-    ring_offsets = DT[2]
+    ring_counts = jnp.where(has, ST[5], 0)
+    ring_offsets = ST[6]
     return Fout, ring_counts, ring_offsets, total > cap_out
 
 
@@ -334,7 +349,7 @@ def _ring_expand(level: Level, F, ring_counts, ring_offsets, cap_out):
     F2 = jnp.stack(
         [R[0], R[1], nlo, nlo + ln, R[4] ^ flip, R[5],
          v.astype(dt), jnp.zeros_like(nlo)], axis=0)
-    return jnp.concatenate([F, F2], axis=1), total > cap_out
+    return jnp.concatenate([F, F2], axis=1), total, total > cap_out
 
 
 def _final_bound(F):
@@ -357,15 +372,20 @@ def _run_path(path: PathData, lo, hi, owner, caps):
     level_totals = []
     for li, level in enumerate(path.levels):
         cap = caps[li]
-        F, ring_counts, ring_offsets, ov1 = _split_hop(level, F, cap)
+        split_cap, ring_cap = cap if isinstance(cap, tuple) else (cap, cap)
+        F, ring_counts, ring_offsets, ov1 = _split_hop(level, F, split_cap)
         overflow |= ov1
+        sv = jnp.sum((F[C_VALID] > 0).astype(jnp.int32))
+        rv = jnp.zeros((), jnp.int32)
         if level.kind == "down" and level.max_ring > 0:
-            F, ov2 = _ring_expand(level, F, ring_counts, ring_offsets, cap)
+            F, rtot, ov2 = _ring_expand(level, F, ring_counts, ring_offsets,
+                                        ring_cap)
             overflow |= ov2
-        level_totals.append(jnp.sum((F[C_VALID] > 0).astype(jnp.int32)))
+            rv = rtot.astype(jnp.int32)
+        level_totals.append(jnp.stack([sv, rv]))
     bound = _final_bound(F)
     return F, bound, overflow, (jnp.stack(level_totals) if level_totals
-                                else jnp.zeros(0, jnp.int32))
+                                else jnp.zeros((0, 2), jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnames=("caps",))
@@ -394,8 +414,9 @@ def map_batch(path: PathData, lo, hi, owner=None, cap_mult: int = 4):
         for level in path.levels:
             c = base * mult
             if level.kind == "down" and level.max_ring:
-                c = c * min(level.max_ring + 1, 4)
-            caps.append(int(c))
+                caps.append((int(c), int(c * min(level.max_ring, 4))))
+            else:
+                caps.append(int(c))
         F, bound, overflow, level_totals = _map_batch_jit(path, lo, hi, owner,
                                                           tuple(caps))
         if not bool(np.asarray(overflow.reshape(1))[0]):
