@@ -22,6 +22,26 @@ from hal_tpu.ops.segmap_jax import (PathData, _run_path,
                                     C_TLO, C_THI, C_VALID)
 
 
+def ensure_virtual_devices(n: int) -> None:
+    """Force an n-device virtual CPU backend when fewer real devices exist.
+    JAX_PLATFORMS=cpu alone is unreliable when a TPU platform plugin is
+    installed (the plugin can win the backend race); jax.config is
+    authoritative.  Must run before heavy device use."""
+    import os
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=%d" % n).strip()
+    if jax.device_count() < n:
+        from jax.extend import backend as _jexb
+
+        _jexb.clear_backends()
+        jax.config.update("jax_platforms", "cpu")
+        assert jax.device_count() >= n, (
+            "need %d devices, have %d" % (n, jax.device_count()))
+
+
 def make_mesh(n_data: int, n_coord: int = 1, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     assert len(devices) >= n_data * n_coord, "not enough devices"

@@ -94,3 +94,27 @@ def test_driver_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_bench_scaling_harness():
+    """Scaling harness (BASELINE config #5) runs and reports efficiency
+    rows on the virtual mesh."""
+    import json
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", "hal_tpu.tools.benchScaling",
+         "--devices", "1,2", "--nIntervals", "2048", "--nGenomes", "4",
+         "--nSegments", "100", "--iters", "2"],
+        capture_output=True, text=True, timeout=600,
+        env={**__import__("os").environ,
+             "JAX_PLATFORMS": "cpu",
+             "XLA_FLAGS": "--xla_force_host_platform_device_count=2"},
+    )
+    assert r.returncode == 0, r.stderr
+    lines = [json.loads(x) for x in r.stdout.splitlines()]
+    summary = lines[-1]
+    assert summary["metric"] == "sharded_scaling"
+    assert [row["devices"] for row in summary["results"]] == [1, 2]
+    assert summary["results"][0]["scaling_efficiency"] == 1.0
