@@ -10,6 +10,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+from hal_tpu import dna as dnacodec
 from hal_tpu.alignment import Alignment
 from hal_tpu.ops.column import Row, Slice
 
@@ -44,11 +45,37 @@ class MafBlockBuilder:
         self.entries: list[_Entry] = []
         self.tree = None            # block gene tree (--printTree)
         self._genomes = {}
+        self._ascii_cache = {}
+        self._seq_cache = {}
+
+    # whole-genome ASCII DNA caches are built lazily up to this size; the
+    # per-call unpack path (10us of numpy overhead per tiny row) dominates
+    # block building otherwise
+    _ASCII_CACHE_LIMIT = 1 << 28
 
     def _g(self, name):
         if name not in self._genomes:
             self._genomes[name] = self.aln.open_genome(name)
         return self._genomes[name]
+
+    def _ascii(self, name):
+        """Lazily cached whole-genome ASCII bases (None if too large)."""
+        if name not in self._ascii_cache:
+            g = self._g(name)
+            self._ascii_cache[name] = (
+                dnacodec.unpack_dna(g.dna, 0, g.length)
+                if g.has_dna and g.length <= self._ASCII_CACHE_LIMIT else None)
+        return self._ascii_cache[name]
+
+    def _seqs(self, name):
+        """(seq_start list, seq_length list) for fast scalar lookups."""
+        t = self._seq_cache.get(name)
+        if t is None:
+            g = self._g(name)
+            ss = g.seq_start.tolist()
+            t = (ss, [ss[i + 1] - ss[i] for i in range(len(ss) - 1)])
+            self._seq_cache[name] = t
+        return t
 
     def _name(self, genome, seq_idx):
         g = self._g(genome)
@@ -58,9 +85,9 @@ class MafBlockBuilder:
 
     def _row_start_strand(self, row: Row) -> tuple[int, int]:
         """(strand-coords start, srcLength) of the row's first column."""
-        g = self._g(row.genome)
-        seq_start = int(g.seq_start[row.seq_idx])
-        src_len = g.seq_length(row.seq_idx)
+        starts, lengths = self._seqs(row.genome)
+        seq_start = starts[row.seq_idx]
+        src_len = lengths[row.seq_idx]
         if row.rev:
             start = src_len - 1 - (row.tgt_hi - 1 - seq_start)
         else:
@@ -68,8 +95,14 @@ class MafBlockBuilder:
         return start, src_len
 
     def _row_text(self, row: Row) -> str:
-        g = self._g(row.genome)
-        return g.get_dna_string(row.tgt_lo, row.tgt_hi - row.tgt_lo, reversed_=row.rev)
+        a = self._ascii(row.genome)
+        if a is None:
+            return self._g(row.genome).get_dna_string(
+                row.tgt_lo, row.tgt_hi - row.tgt_lo, reversed_=row.rev)
+        chunk = a[row.tgt_lo:row.tgt_hi]
+        if row.rev:
+            chunk = dnacodec.reverse_complement(chunk)
+        return chunk.tobytes().decode()
 
     # ---------------------------------------------------------- printTree
     def _slice_tree(self, sl: Slice):

@@ -278,7 +278,78 @@ def iter_slices(aln: Alignment, ref: str, gs: int, ge: int,
     inserts = (insertion_slices(aln, frags_by_genome, max_ref_gap)
                if max_ref_gap > 0 else {})
 
-    for a, b in zip(bounds, bounds[1:]):
+    # ---- vectorized (fragment x slice) expansion ------------------------
+    # every fragment boundary is a cut, so a fragment covers slices
+    # [searchsorted(bnd, src_lo), searchsorted(bnd, src_hi)) exactly; the
+    # per-slice python double loop this replaces was the hal2maf hot spot
+    bnd = np.asarray(bounds, np.int64)
+    nsl = max(len(bnd) - 1, 0)
+    genome_names = sorted(frags_by_genome)
+    cols = {k: [] for k in ("sl", "gid", "seq", "tlo", "thi", "rev", "isref")}
+    for gid, g in enumerate(genome_names):
+        if no_ancestors and not tree.is_leaf(g):
+            continue
+        f = frags_by_genome[g]
+        gen = aln.open_genome(g)
+        lo_i = np.searchsorted(bnd, f.src_lo, side="left")
+        hi_i = np.searchsorted(bnd, f.src_hi, side="left")
+        count = np.maximum(hi_i - lo_i, 0)
+        total = int(count.sum())
+        if not total:
+            continue
+        rep = np.repeat(np.arange(len(count)), count)
+        offs = np.cumsum(count) - count
+        sl = lo_i[rep] + (np.arange(total) - offs[rep])
+        a = bnd[sl]
+        b = bnd[sl + 1]
+        rev = f.rev[rep].astype(bool)
+        adv = a - f.src_lo[rep]
+        t_hi_r = f.tgt_hi[rep] - adv
+        t_lo_f = f.tgt_lo[rep] + adv
+        t_lo = np.where(rev, t_hi_r - (b - a), t_lo_f)
+        t_hi = np.where(rev, t_hi_r, t_lo_f + (b - a))
+        seq = np.searchsorted(gen.seq_start, f.tgt_lo[rep], side="right") - 1
+        isref = (g == ref) & ~rev & (t_lo == a)
+        cols["sl"].append(sl)
+        cols["gid"].append(np.full(total, gid))
+        cols["seq"].append(seq)
+        cols["tlo"].append(t_lo)
+        cols["thi"].append(t_hi)
+        cols["rev"].append(rev)
+        cols["isref"].append(isref)
+    if cols["sl"]:
+        sl = np.concatenate(cols["sl"])
+        gid = np.concatenate(cols["gid"])
+        seq = np.concatenate(cols["seq"])
+        tlo = np.concatenate(cols["tlo"])
+        thi = np.concatenate(cols["thi"])
+        rev = np.concatenate(cols["rev"])
+        isref = np.concatenate(cols["isref"])
+    else:
+        sl = gid = seq = tlo = thi = np.zeros(0, np.int64)
+        rev = isref = np.zeros(0, bool)
+    # deterministic row order within a slice: ref first, then SequenceLess +
+    # forward position (genome_names is sorted, so gid order == name order)
+    order = np.lexsort((rev, tlo, seq, gid, ~isref, sl))
+    sl, gid, seq, tlo, thi, rev, isref = (x[order] for x in
+                                          (sl, gid, seq, tlo, thi, rev, isref))
+    starts = np.searchsorted(sl, np.arange(nsl), side="left")
+    ends = np.searchsorted(sl, np.arange(nsl), side="right")
+
+    # --unique: leftmost ref-genome position per slice
+    skip = np.zeros(nsl, bool)
+    if unique_start is not None and ref_frags is not None:
+        ref_gid = genome_names.index(ref) if ref in genome_names else -1
+        leftpos = np.where(rev, thi - 1, tlo)
+        skip_all = np.full(nsl, np.iinfo(np.int64).max)
+        m = gid == ref_gid
+        if m.any():
+            np.minimum.at(skip_all, sl[m], leftpos[m])
+        skip = skip_all < unique_start
+
+    ref_gen = aln.open_genome(ref)
+    for i in range(nsl):
+        a, b = int(bnd[i]), int(bnd[i + 1])
         if b <= a:
             continue
         # insertion columns anchored at this breakpoint come first
@@ -287,38 +358,18 @@ def iter_slices(aln: Alignment, ref: str, gs: int, ge: int,
             if no_ancestors and not tree.is_leaf(ins.rows[0].genome):
                 continue
             yield ins
-        rows = []
-        for g, f in frags_by_genome.items():
-            if no_ancestors and not tree.is_leaf(g):
-                continue
-            gen = aln.open_genome(g)
-            cover = (f.src_lo <= a) & (f.src_hi >= b)
-            for i in np.flatnonzero(cover):
-                rev = bool(f.rev[i])
-                if rev:
-                    t_hi = int(f.tgt_hi[i]) - (a - int(f.src_lo[i]))
-                    t_lo = t_hi - (b - a)
-                else:
-                    t_lo = int(f.tgt_lo[i]) + (a - int(f.src_lo[i]))
-                    t_hi = t_lo + (b - a)
-                si = int(np.searchsorted(gen.seq_start, t_lo, side="right")) - 1
-                is_ref = (g == ref) and not rev and t_lo == a
-                rows.append(Row(g, si, t_lo, t_hi, rev, is_ref))
-        if not any(r.is_ref for r in rows):
+        if skip[i]:
+            continue
+        rows = [Row(genome_names[gid[k]], int(seq[k]), int(tlo[k]),
+                    int(thi[k]), bool(rev[k]), bool(isref[k]))
+                for k in range(starts[i], ends[i])]
+        if not (rows and rows[0].is_ref):
             # ensure the reference's own position is present even when the
             # ref genome mapping lost it (shouldn't happen; identity row)
-            gen = aln.open_genome(ref)
-            si = int(np.searchsorted(gen.seq_start, a, side="right")) - 1
+            si = int(np.searchsorted(ref_gen.seq_start, a, side="right")) - 1
             rows.append(Row(ref, si, a, b, False, True))
-        if unique_start is not None and ref_frags is not None:
-            # leftmost ref-genome position of the column at slice start
-            ref_rows = [r for r in rows if r.genome == ref]
-            leftmost = min((r.tgt_hi - 1) if r.rev else r.tgt_lo for r in ref_rows)
-            if leftmost < unique_start:
-                continue
-        # deterministic row order: SequenceLess + forward position
-        names = {g: g for g in frags_by_genome}
-        rows.sort(key=lambda r: (not r.is_ref, r.genome, r.seq_idx, r.tgt_lo, r.rev))
+            rows.sort(key=lambda r: (not r.is_ref, r.genome, r.seq_idx,
+                                     r.tgt_lo, r.rev))
         yield Slice(a, b, rows)
     # insertions anchored at (or clipped to) the window end
     for anchor in sorted(inserts):
