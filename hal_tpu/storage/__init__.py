@@ -17,7 +17,7 @@ from __future__ import annotations
 import os
 
 from hal_tpu.alignment import Alignment
-from hal_tpu.constants import FORMAT_HDF5, FORMAT_HALZ
+from hal_tpu.constants import FORMAT_HDF5, FORMAT_HALZ, FORMAT_MMAP
 
 
 def detect_format(path: str) -> str:
@@ -26,6 +26,11 @@ def detect_format(path: str) -> str:
         if os.path.exists(os.path.join(path, "halz.json")):
             return FORMAT_HALZ
         raise ValueError("directory %s is not a halz alignment" % path)
+    from hal_tpu.storage.mmap_driver import is_mmap_file
+
+    if is_mmap_file(path):
+        # reference mmap backend (api/mmap_impl/), read-only interop
+        return FORMAT_MMAP
     try:
         import h5py
 
@@ -45,6 +50,14 @@ def open_alignment(path: str, mode: str = "r") -> Alignment:
             raise ValueError("remote alignments are read-only")
         return open_remote(path)
     fmt = detect_format(path)
+    if fmt == FORMAT_MMAP:
+        if mode != "r":
+            raise ValueError(
+                "mmap-format alignments are read-only in hal_tpu; "
+                "convert with halExtract (reference extract/impl/halExtract.cpp)")
+        from hal_tpu.storage import mmap_driver
+
+        return mmap_driver.load(path)
     if fmt == FORMAT_HDF5:
         from hal_tpu.storage import hdf5_driver
 

@@ -1,0 +1,219 @@
+"""Read-only driver for the reference's mmap HAL format.
+
+The reference's second storage backend is a single pre-allocated file of
+offset-linked raw structs (studied from /root/reference/api/mmap_impl/:
+MMapHeader mmapFile.h:23-33, MMapAlignmentData mmapAlignment.h:14-31,
+MMapGenomeData mmapGenome.h:19-46, MMapSequenceData mmapSequenceData.h,
+MMapTopSegmentData mmapTopSegmentData.h:5-45, MMapBottomSegmentData
+mmapBottomSegmentData.h:35-53, MMapArray/MMapString mmapArray.h:5-11,
+MMapMetaData mmapMetaData.h:10-15).
+
+hal_tpu's native format is halz (columnar .npy shards) — this module exists
+purely for interoperability so alignments written by the reference toolchain
+in mmap format open directly (read-only; use halExtract to convert to
+halz/hdf5). Both mmap API versions are handled: 1.0 and 1.1 (1.1 added
+256-byte reserved blocks to several structs — comments in the headers above).
+
+Everything is decoded with numpy structured dtypes over one memory-mapped
+buffer, so open cost is O(#genomes), not O(file size): segment/DNA columns
+are zero-copy views into the OS page cache, the same demand-paging the
+reference's driver relies on (mmapFile.cpp:121 MMapFileLocal).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from hal_tpu.alignment import Alignment
+from hal_tpu.genome import GenomeArrays
+from hal_tpu.tree import Tree
+
+MAGIC = b"HAL-MMAP"
+
+# MMapHeader field offsets (mmapFile.h:23-33); identical in v1.0/v1.1 —
+# v1.1 only appended _reserved[256].
+_OFF_MMAP_VERSION = 32
+_OFF_NEXT_OFFSET = 96
+_OFF_ROOT_OFFSET = 104
+_OFF_DIRTY = 112
+
+# MMapAlignmentData (mmapAlignment.h:24-30): 5 size_t fields.
+_ALN_DTYPE = np.dtype(
+    [("numGenomes", "<u8"), ("newickOffset", "<u8"), ("newickLength", "<u8"),
+     ("genomeArrayOffset", "<u8"), ("genomeNameHashOffset", "<u8")]
+)
+
+# MMapGenomeData (mmapGenome.h:31-43): 12 contiguous u64 fields; no reserved
+# block in either version ("couldn't add a reserved field", mmapGenome.h:44).
+_GENOME_DTYPE = np.dtype(
+    [("totalSequenceLength", "<u8"), ("numSequences", "<u8"),
+     ("numTopSegments", "<u8"), ("numBottomSegments", "<u8"),
+     ("nameOffset", "<u8"), ("sequenceHashOffset", "<u8"),
+     ("genomeSiteMapOffset", "<u8"), ("sequencesOffset", "<u8"),
+     ("metadataOffset", "<u8"), ("dnaOffset", "<u8"),
+     ("topSegmentsOffset", "<u8"), ("bottomSegmentsOffset", "<u8")]
+)
+
+# MMapSequenceData (mmapSequenceData.h:21-30); v1.1 appends reserved[256].
+_SEQ_FIELDS = [
+    ("startPosition", "<i8"), ("index", "<i8"), ("length", "<u8"),
+    ("topSegmentStartIndex", "<i8"), ("bottomSegmentStartIndex", "<i8"),
+    ("numTopSegments", "<u8"), ("numBottomSegments", "<u8"),
+    ("nameLength", "<u8"), ("nameOffset", "<u8"),
+]
+
+# MMapTopSegmentData (mmapTopSegmentData.h:39-44): 4 x i64 + bool, padded
+# to 8-byte alignment -> 40-byte stride.
+_TOP_DTYPE = np.dtype(
+    [("startPosition", "<i8"), ("bottomParseIndex", "<i8"),
+     ("paralogyIndex", "<i8"), ("parentIndex", "<i8"),
+     ("reversed", "u1"), ("_pad", "V7")]
+)
+
+
+def is_mmap_file(path: str) -> bool:
+    """MMapFile::isMmapFile equivalent (mmapFile.cpp:29-31)."""
+    try:
+        with open(path, "rb") as fh:
+            return fh.read(len(MAGIC)) == MAGIC
+    except OSError:
+        return False
+
+
+def _cstr(buf: np.ndarray, off: int, maxlen: int = 1 << 16) -> str:
+    raw = bytes(buf[off:off + maxlen])
+    return raw.split(b"\x00", 1)[0].decode()
+
+
+def _mmap_string(buf: np.ndarray, off: int) -> str:
+    """MMapString = MMapArray<char>: {elementSize,capacity,length} header
+    then the bytes (mmapArray.h:5-11, mmapString.h)."""
+    length = int(np.frombuffer(buf[off + 16:off + 24], "<u8")[0])
+    return bytes(buf[off + 24:off + 24 + length]).split(b"\x00", 1)[0].decode()
+
+
+def _metadata(buf: np.ndarray, off: int) -> dict:
+    """MMapMetaData: struct of two MMapArray<size_t> offsets, each entry an
+    offset to an MMapString (mmapMetaData.h:10-15,64-75)."""
+    if off == 0:
+        return {}
+    keys_off, vals_off = np.frombuffer(buf[off:off + 16], "<u8")
+    out = {}
+    for base in (int(keys_off), int(vals_off)):
+        n = int(np.frombuffer(buf[base + 16:base + 24], "<u8")[0])
+        offs = np.frombuffer(buf[base + 24:base + 24 + 8 * n], "<u8")
+        strings = [_mmap_string(buf, int(o)) for o in offs]
+        if base == int(keys_off):
+            keys = strings
+        else:
+            out = dict(zip(keys, strings))
+    return out if out else {}
+
+
+def load(path: str) -> Alignment:
+    buf = np.memmap(path, dtype=np.uint8, mode="r")
+    if bytes(buf[:len(MAGIC)]) != MAGIC:
+        raise ValueError("%s is not a HAL-MMAP file" % path)
+    version = _cstr(buf, _OFF_MMAP_VERSION, 32)
+    major = int(version.split(".")[0] or 1)
+    minor = int((version.split(".") + ["0"])[1] or 0)
+    v11 = (major, minor) >= (1, 1)
+    if bool(buf[_OFF_DIRTY]):
+        raise ValueError(
+            "%s: dirty flag set — file was not closed cleanly "
+            "(mmapFile.h:30 crash detection)" % path)
+    root = int(np.frombuffer(buf[_OFF_ROOT_OFFSET:_OFF_ROOT_OFFSET + 8], "<u8")[0])
+
+    ad = np.frombuffer(buf[root:root + _ALN_DTYPE.itemsize], _ALN_DTYPE)[0]
+    newick = bytes(
+        buf[int(ad["newickOffset"]):int(ad["newickOffset"]) + int(ad["newickLength"])]
+    ).split(b"\x00", 1)[0].decode()
+
+    aln = Alignment(path=path)
+    aln.tree = Tree.from_newick(newick) if newick else Tree()
+    aln.version = _cstr(buf, 64, 32)  # halVersion field of the header
+
+    n_gen = int(ad["numGenomes"])
+    garr_off = int(ad["genomeArrayOffset"])
+    gdatas = np.frombuffer(
+        buf[garr_off:garr_off + n_gen * _GENOME_DTYPE.itemsize], _GENOME_DTYPE)
+    by_name = {}
+    for i in range(n_gen):
+        by_name[_mmap_string(buf, int(gdatas[i]["nameOffset"]))] = gdatas[i]
+
+    seq_stride_pad = 256 if v11 else 0
+    seq_dtype = np.dtype(_SEQ_FIELDS + ([("_reserved", "V%d" % seq_stride_pad)]
+                                        if seq_stride_pad else []))
+
+    def loader(name: str) -> GenomeArrays:
+        if name not in by_name:
+            raise KeyError("genome %s not in %s" % (name, path))
+        return _load_genome(aln, buf, name, by_name[name], seq_dtype)
+
+    aln._loader = loader
+    return aln
+
+
+def _load_genome(aln, buf, name, gd, seq_dtype) -> GenomeArrays:
+    g = GenomeArrays(name=name)
+    total_len = int(gd["totalSequenceLength"])
+    n_seq = int(gd["numSequences"])
+    n_top = int(gd["numTopSegments"])
+    n_bot = int(gd["numBottomSegments"])
+
+    # sequences: no sentinel row on disk; synthesize the n+1 cumulative form
+    soff = int(gd["sequencesOffset"])
+    if n_seq:
+        seqs = np.frombuffer(buf[soff:soff + n_seq * seq_dtype.itemsize], seq_dtype)
+        order = np.argsort(seqs["startPosition"], kind="stable")
+        seqs = seqs[order]
+        g.seq_names = [_cstr(buf, int(s["nameOffset"]), int(s["nameLength"]))
+                       for s in seqs]
+        g.seq_start = np.concatenate(
+            [seqs["startPosition"].astype(np.int64), [total_len]])
+        g.seq_top = np.concatenate(
+            [seqs["topSegmentStartIndex"].astype(np.int64), [n_top]])
+        g.seq_bot = np.concatenate(
+            [seqs["bottomSegmentStartIndex"].astype(np.int64), [n_bot]])
+    g.metadata = _metadata(buf, int(gd["metadataOffset"]))
+
+    dna_off = int(gd["dnaOffset"])
+    if dna_off:
+        g.dna = buf[dna_off:dna_off + (total_len + 1) // 2]
+
+    # top segments: n+1 records incl. sentinel (mmapGenome.cpp:141)
+    toff = int(gd["topSegmentsOffset"])
+    if toff and n_top:
+        tops = np.frombuffer(
+            buf[toff:toff + (n_top + 1) * _TOP_DTYPE.itemsize], _TOP_DTYPE)
+        g.top_start = tops["startPosition"].astype(np.int64)
+        g.top_start[-1] = total_len  # sentinel start = end coordinate
+        g.top_parent = tops["parentIndex"][:n_top].astype(np.int64)
+        g.top_parent_reversed = tops["reversed"][:n_top].astype(np.uint8)
+        g.top_bottom_parse = tops["bottomParseIndex"][:n_top].astype(np.int64)
+        g.top_paralogy = tops["paralogyIndex"][:n_top].astype(np.int64)
+
+    # bottom segments: variable stride 16 + 8*nc + align8(nc) bytes
+    # (MMapBottomSegmentData::getSize, mmapBottomSegmentData.h:35-41)
+    boff = int(gd["bottomSegmentsOffset"])
+    nc = aln.tree.num_children(name)
+    if boff and n_bot:
+        extra = 0 if nc % 8 == 0 else 8 - nc % 8
+        stride = 8 * (2 + nc) + nc + extra
+        raw = buf[boff:boff + (n_bot + 1) * stride].reshape(n_bot + 1, stride)
+        starts = raw[:, :16].copy().view("<i8").reshape(n_bot + 1, 2)
+        g.bot_start = starts[:, 0].astype(np.int64)
+        g.bot_start[-1] = total_len
+        g.bot_top_parse = starts[:n_bot, 1].astype(np.int64)
+        if nc:
+            g.bot_child = (raw[:n_bot, 16:16 + 8 * nc].copy()
+                           .view("<i8").reshape(n_bot, nc).astype(np.int64))
+            g.bot_child_reversed = raw[:n_bot, 16 + 8 * nc:16 + 8 * nc + nc
+                                       ].astype(np.uint8)
+        else:
+            g.bot_child = np.zeros((n_bot, 0), np.int64)
+            g.bot_child_reversed = np.zeros((n_bot, 0), np.uint8)
+    elif nc:
+        g.bot_child = np.zeros((0, nc), np.int64)
+        g.bot_child_reversed = np.zeros((0, nc), np.uint8)
+    return g

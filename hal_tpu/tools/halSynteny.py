@@ -67,13 +67,37 @@ def build_blocks(aln, query, target, query_chromosome=None):
     return blocks
 
 
+def read_psl_blocks(path):
+    """Parse a PSL file into per-block PslBlocks (reference psl.h Psl::parse /
+    parseBlocks :81-99, psl_io.cpp get_blocks_set :19-27)."""
+    blocks = []
+    with open(path) as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            row = line.split("\t")
+            if len(row) < 21:
+                continue
+            strand = row[8]
+            q_name, q_size = row[9], int(row[10])
+            t_name, t_size = row[13], int(row[14])
+            sizes = [int(s) for s in row[18].split(",") if s]
+            q_starts = [int(s) for s in row[19].split(",") if s]
+            t_starts = [int(s) for s in row[20].split(",") if s]
+            for sz, qs, ts in zip(sizes, q_starts, t_starts):
+                blocks.append(PslBlock(qs, qs + sz, ts, ts + sz, sz, strand,
+                                       q_name, t_name, q_size, t_size))
+    return blocks
+
+
 def dag_merge(blocks, min_block_size, max_anchor_distance):
     """reference psl_merger.cpp dag_merge :109-137."""
     by_q = defaultdict(list)
     for b in blocks:
         by_q[b.q_name].append(b)
     paths = []
-    for q_name in by_q:
+    for q_name in sorted(by_q):
         group = sorted(by_q[q_name], key=lambda b: (b.q_start, b.t_start))
         n = len(group)
         hidden = set()
@@ -172,12 +196,13 @@ def run(argv=None):
     add_storage_options(p)
     o = p.parse_args(argv)
     if o.alignmentIsPsl:
-        raise HalError("--alignmentIsPsl input is not implemented yet")
-    if not o.queryGenome or not o.targetGenome:
-        raise HalError("--queryGenome and --targetGenome must be specified")
-    aln = open_alignment(o.alignment)
-    blocks = build_blocks(aln, o.queryGenome, o.targetGenome,
-                          o.queryChromosome or None)
+        blocks = read_psl_blocks(o.alignment)
+    else:
+        if not o.queryGenome or not o.targetGenome:
+            raise HalError("--queryGenome and --targetGenome must be specified")
+        aln = open_alignment(o.alignment)
+        blocks = build_blocks(aln, o.queryGenome, o.targetGenome,
+                              o.queryChromosome or None)
     paths = dag_merge(blocks, o.minBlockSize, o.maxAnchorDistance)
     out = sys.stdout if o.outPslPath in ("stdout", "-") else open(o.outPslPath, "w")
     write_psl(paths, out)

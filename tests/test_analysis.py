@@ -169,6 +169,33 @@ def test_liftover_status(ni_setup, tmp_path):
     assert 0 <= int(toks[2]) <= hi * 4
 
 
+def test_synteny_psl_roundtrip(ni_setup, tmp_path):
+    """halSynteny from HAL, then re-chain its own PSL via --alignmentIsPsl
+    (reference synteny/impl/halSynteny.cpp:148 syntenyFromPsl)."""
+    hal, _ = ni_setup
+    src, tgt = _first_leaf_pair(hal)
+    psl1 = tmp_path / "a.psl"
+    r = run_tool("halSynteny", hal, str(psl1), "--queryGenome", src,
+                 "--targetGenome", tgt, "--minBlockSize", "1",
+                 "--maxAnchorDistance", "1000000")
+    assert r.returncode == 0, r.stderr
+    lines1 = psl1.read_text().splitlines()
+    if not lines1:
+        pytest.skip("no syntenic anchors in this fixture")
+    for l in lines1:
+        assert len(l.split("\t")) == 21
+    psl2 = tmp_path / "b.psl"
+    r = run_tool("halSynteny", str(psl1), str(psl2), "--alignmentIsPsl",
+                 "--minBlockSize", "1", "--maxAnchorDistance", "1000000")
+    assert r.returncode == 0, r.stderr
+    lines2 = psl2.read_text().splitlines()
+    assert lines2
+    # chaining an already-chained PSL must conserve total matched bases
+    m1 = sum(int(l.split("\t")[0]) for l in lines1)
+    m2 = sum(int(l.split("\t")[0]) for l in lines2)
+    assert m1 == m2
+
+
 def test_synteny_rates(ni_setup, tmp_path):
     hal, _ = ni_setup
     src, tgt = _first_leaf_pair(hal)
