@@ -109,6 +109,19 @@ def main():
         for (sv, rv), l in zip(lt, path.levels))
     t0 = time.time()
     F, bound, ovf, level_totals = sj._map_batch_jit(path, lo_d, hi_d, own_d, caps)
+    assert not bool(np.asarray(jnp.reshape(ovf, (1,)))[0]), "safe capacity overflow"
+    sys.stderr.write("safe-caps compile: %.1fs, caps %s\n" % (time.time() - t0, caps))
+
+    # second sizing stage: the safe-cap run yields EXACT full-batch totals
+    # per level, so the timed program runs at ~2% slack — every cap-sized op
+    # (gathers, scans, elementwise) shrinks ~27% vs the 1.4x safety margin
+    lt_full = np.asarray(level_totals)
+    caps = tuple(
+        (round_up(sv * 1.02), round_up(max(rv * 1.02, 8192)))
+        if (l.kind == "down" and l.max_ring) else round_up(sv * 1.02)
+        for (sv, rv), l in zip(lt_full, path.levels))
+    t0 = time.time()
+    F, bound, ovf, level_totals = sj._map_batch_jit(path, lo_d, hi_d, own_d, caps)
     assert not bool(np.asarray(jnp.reshape(ovf, (1,)))[0]), "tight capacity overflow"
     sys.stderr.write("tight-caps compile: %.1fs, caps %s\n" % (time.time() - t0, caps))
 

@@ -58,6 +58,9 @@ BOTTOM = 1
 # packed fragment-state rows of the (8, cap) state matrix
 C_SLO, C_SHI, C_TLO, C_THI, C_REV, C_OWN, C_VALID, C_AUX = range(8)
 
+# single-sweep Pallas blocked scans in _expand_owner (vs XLA lax.cummax)
+USE_PALLAS_SCANS = True
+
 # grids up to this many entries use the Pallas compare-count searchsorted
 # (hal_tpu.ops.pallas_kernels); larger grids or non-TPU backends fall back
 # to jnp.searchsorted(method='sort')
@@ -265,15 +268,24 @@ def _expand_owner(counts, cap_out):
 
     scatter-max an input-index mark at each segment start, then cummax —
     O(n + cap) memory-bound, no sort (a bitonic searchsorted(method='sort')
-    here is the dominant TPU cost otherwise)."""
+    here is the dominant TPU cost otherwise).  The prefix scans use the
+    single-sweep Pallas blocked kernels on TPU (XLA's lax.cummax/cumsum
+    materialize ~log2(cap) full passes)."""
     dt = counts.dtype
-    offsets = jnp.cumsum(counts) - counts
+    use_pallas = (USE_PALLAS_SCANS and dt == jnp.int32
+                  and jax.default_backend() not in ("cpu",))
+    if use_pallas:
+        from hal_tpu.ops import pallas_kernels as pk
+
+        offsets = pk.cumsum_i32(counts) - counts
+    else:
+        offsets = jnp.cumsum(counts) - counts
     total = offsets[-1] + counts[-1]
     n = counts.shape[0]
     idx = jnp.where(counts > 0, offsets, cap_out)
     marks = jnp.zeros(cap_out, dt).at[idx].max(
         jnp.arange(n, dtype=dt), mode="drop")
-    own = jax.lax.cummax(marks)
+    own = pk.cummax_i32(marks) if use_pallas else jax.lax.cummax(marks)
     return own, offsets, total
 
 
@@ -321,7 +333,7 @@ def _split_hop(level: Level, F, cap_out):
          has.astype(dt), ds], axis=0)
     ring_counts = jnp.where(has, ST[5], 0)
     ring_offsets = ST[6]
-    return Fout, ring_counts, ring_offsets, total > cap_out
+    return Fout, ring_counts, ring_offsets, total, total > cap_out
 
 
 def _ring_expand(level: Level, F, ring_counts, ring_offsets, cap_out):
@@ -373,9 +385,10 @@ def _run_path(path: PathData, lo, hi, owner, caps):
     for li, level in enumerate(path.levels):
         cap = caps[li]
         split_cap, ring_cap = cap if isinstance(cap, tuple) else (cap, cap)
-        F, ring_counts, ring_offsets, ov1 = _split_hop(level, F, split_cap)
+        F, ring_counts, ring_offsets, stot, ov1 = _split_hop(level, F, split_cap)
         overflow |= ov1
-        sv = jnp.sum((F[C_VALID] > 0).astype(jnp.int32))
+        # expansion SLOT totals (what the caps must bound), not valid counts
+        sv = stot.astype(jnp.int32)
         rv = jnp.zeros((), jnp.int32)
         if level.kind == "down" and level.max_ring > 0:
             F, rtot, ov2 = _ring_expand(level, F, ring_counts, ring_offsets,
