@@ -73,10 +73,65 @@ def _write_str_attrs(group, d: dict[str, str]) -> None:
 
 # ---------------------------------------------------------------------- load
 
-def load(path: str) -> Alignment:
+def _open_relaxed(path: str):
+    """Open an HDF5 file read-only with relaxed file-integrity checks.
+
+    Old reference-produced files (e.g. v2.1 paf/tests/input/mr.hal) store
+    sequence names as an N-byte integer type with 8-bit precision
+    (hdf5Sequence.cpp fixed-width name strings); HDF5 >= 1.14.4 rejects that
+    datatype unless H5Pset_relax_file_integrity_checks is applied to the
+    file-access property list.  h5py does not wrap the call, so we reach the
+    C symbol via ctypes; when unavailable we fall back to a plain open.
+    """
     import h5py
 
-    f = h5py.File(path, "r")
+    try:
+        import ctypes
+        import glob
+
+        import h5py.h5f as h5f
+        import h5py.h5p as h5p
+
+        libs = glob.glob(
+            "/opt/venv/lib/python*/site-packages/h5py.libs/libhdf5-*.so*"
+        ) or ["libhdf5.so"]
+        lib = ctypes.CDLL(libs[0])
+        fn = lib.H5Pset_relax_file_integrity_checks
+        fn.argtypes = [ctypes.c_int64, ctypes.c_uint64]
+        fn.restype = ctypes.c_int
+        fapl = h5p.create(h5p.FILE_ACCESS)
+        fn(fapl.id, 1)  # H5F_RFIC_UNUSUAL_NUM_UNUSED_NUMERIC_BITS
+        fid = h5f.open(path.encode(), h5f.ACC_RDONLY, fapl=fapl)
+        return h5py.File(fid)
+    except (OSError, AttributeError):
+        return h5py.File(path, "r")
+
+
+def _read_seqnames(grp) -> list[str]:
+    """Read SEQNAME_ARRAY, tolerating the legacy fixed-width int name type."""
+    import h5py.h5s as h5s
+
+    ds = grp["SEQNAME_ARRAY"]
+    try:
+        raw = ds[:]
+    except TypeError:
+        # legacy N-byte integer type numpy can't express: raw byte read
+        did = ds.id
+        ftype = did.get_type()
+        n = did.get_space().get_simple_extent_npoints()
+        raw = np.zeros(n, dtype="V%d" % ftype.get_size())
+        did.read(h5s.ALL, h5s.ALL, raw, mtype=ftype)
+        return [bytes(x).split(b"\x00", 1)[0].decode() for x in raw]
+    return [
+        bytes(x).split(b"\x00", 1)[0].decode()
+        if isinstance(x, (bytes, np.bytes_, np.void))
+        else str(x)
+        for x in raw
+    ]
+
+
+def load(path: str) -> Alignment:
+    f = _open_relaxed(path)
     aln = Alignment(path=path)
     # tree
     tree_str = ""
@@ -96,7 +151,12 @@ def load(path: str) -> Alignment:
 
 
 def _load_genome(f, name: str, aln: Alignment) -> GenomeArrays:
-    grp = f["Genomes"][name]
+    # current layout: /Genomes/<name>; legacy (<= v2.1, e.g. mr.hal):
+    # genome groups live at the file root (hdf5Alignment.cpp genome paths)
+    if "Genomes" in f and name in f["Genomes"]:
+        grp = f["Genomes"][name]
+    else:
+        grp = f[name]
     g = GenomeArrays(name=name)
 
     dna = np.asarray(grp["DNA_ARRAY"][:], dtype=np.uint8) if "DNA_ARRAY" in grp else np.zeros(0, np.uint8)
@@ -108,9 +168,8 @@ def _load_genome(f, name: str, aln: Alignment) -> GenomeArrays:
     # sequences
     if "SEQIDX_ARRAY" in grp:
         seqidx = grp["SEQIDX_ARRAY"][:]
-        names_raw = grp["SEQNAME_ARRAY"][:]
-        n_seq = len(names_raw)
-        g.seq_names = [bytes(x).split(b"\x00", 1)[0].decode() if isinstance(x, (bytes, np.bytes_)) else str(x) for x in names_raw]
+        g.seq_names = _read_seqnames(grp)
+        n_seq = len(g.seq_names)
         g.seq_start = seqidx["start"][: n_seq + 1].astype(np.int64)
         g.seq_top = seqidx["topSegmentArrayIndexOffset"][: n_seq + 1].astype(np.int64)
         g.seq_bot = seqidx["bottomSegmentArrayIndexOffset"][: n_seq + 1].astype(np.int64)
@@ -147,14 +206,26 @@ def _load_genome(f, name: str, aln: Alignment) -> GenomeArrays:
     if "BOTTOM_ARRAY" in grp and grp["BOTTOM_ARRAY"].shape[0] > 0:
         bots = grp["BOTTOM_ARRAY"][:]
         n_bot = len(bots) - 1
-        nc = bots.dtype["childIndexes"].shape[0] if "childIndexes" in (bots.dtype.names or ()) else 0
+        fields = bots.dtype.names or ()
+        if "childIndexes" in fields:
+            nc = bots.dtype["childIndexes"].shape[0]
+        else:
+            # legacy flat layout (<= v2.1): childIdx0/reverseFlag0, ...
+            nc = sum(1 for fld in fields if fld.startswith("childIdx"))
         g.bot_start = np.empty(n_bot + 1, np.int64)
         g.bot_start[:-1] = bots["genomeIdx"][:n_bot].astype(np.int64)
         g.bot_start[-1] = total_len
         g.bot_top_parse = bots["topIdx"][:n_bot].astype(np.int64)
-        if nc:
+        if nc and "childIndexes" in fields:
             g.bot_child = bots["childIndexes"]["childIdx"][:n_bot].astype(np.int64).reshape(n_bot, nc)
             g.bot_child_reversed = (bots["childIndexes"]["reverseFlag"][:n_bot] != 0).astype(np.uint8).reshape(n_bot, nc)
+        elif nc:
+            g.bot_child = np.stack(
+                [bots["childIdx%d" % j][:n_bot].astype(np.int64) for j in range(nc)], axis=1
+            )
+            g.bot_child_reversed = np.stack(
+                [(bots["reverseFlag%d" % j][:n_bot] != 0).astype(np.uint8) for j in range(nc)], axis=1
+            )
         else:
             g.bot_child = np.zeros((n_bot, 0), np.int64)
             g.bot_child_reversed = np.zeros((n_bot, 0), np.uint8)
