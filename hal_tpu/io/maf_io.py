@@ -2,10 +2,28 @@
 (maf/impl/halMafBlock.cpp; entry format :452-456, block print :499-519,
 append/break logic :294-450) over the column engine's atomic slices, plus a
 MAF reader for maf2hal (maf/inc/halMafScanner.h model).
+
+The builder is a faithful port of the reference's entry state machine:
+
+* entries live in a multimap ordered by SequenceLess (genome name, then
+  sequence array index — halColumnIterator.h:45-50) and PERSIST across
+  blocks; an entry unused for >10 consecutive block resets is dropped
+  (resetEntries, halMafBlock.cpp:36-79);
+* the d-th duplicate row of a sequence in a column maps onto the d-th
+  entry of that sequence (cursor walk in initBlock/appendColumn/
+  canAppendColumn, halMafBlock.cpp:294-450);
+* a column can be appended iff every row lands on an existing entry
+  contiguously on the same strand and under the max block length; rows
+  that disappear mid-block are padded with '-' (updateEntry NULL branch,
+  halMafBlock.cpp:129-131);
+* printing emits the reference entry first (printBlock :499-519), with
+  the _refIndex fallback when the reference sequence had no base in the
+  block's first column.
 """
 
 from __future__ import annotations
 
+from bisect import bisect_right
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -20,7 +38,7 @@ DEFAULT_MAX_BLOCK_LEN = 1000
 
 @dataclass
 class _Entry:
-    key: tuple          # (is_not_ref, genome, seq_idx) matching row sort
+    key: tuple          # (genome name, seq array index) — SequenceLess
     name: str
     genome: str
     seq_idx: int
@@ -29,21 +47,26 @@ class _Entry:
     length: int = 0
     strand: str = "+"
     text: list = field(default_factory=list)
-    is_ref: bool = False
+    last_used: int = 0
 
 
 class MafBlockBuilder:
     """Streams slices; emits MAF block strings."""
 
     def __init__(self, aln: Alignment, ref: str, max_block_len: int = DEFAULT_MAX_BLOCK_LEN,
-                 ucsc_names: bool = False, print_tree: bool = False):
+                 ucsc_names: bool = False, print_tree: bool = False,
+                 keep_empty_ref_blocks: bool = True):
         self.aln = aln
         self.ref = ref
         self.max_len = max_block_len or DEFAULT_MAX_BLOCK_LEN
         self.ucsc_names = ucsc_names
         self.print_tree = print_tree
+        self.keep_empty_ref_blocks = keep_empty_ref_blocks
         self.entries: list[_Entry] = []
+        self.reference: _Entry | None = None
+        self.ref_index: int | None = None
         self.tree = None            # block gene tree (--printTree)
+        self._row_entries: list[_Entry] = []
         self._genomes = {}
         self._ascii_cache = {}
         self._seq_cache = {}
@@ -104,6 +127,12 @@ class MafBlockBuilder:
             chunk = dnacodec.reverse_complement(chunk)
         return chunk.tobytes().decode()
 
+    @staticmethod
+    def _sorted_rows(sl: Slice) -> list[Row]:
+        """SequenceLess order; stable, so duplicate rows keep their column
+        insertion (DFS) order — this is the multimap iteration order."""
+        return sorted(sl.rows, key=lambda r: (r.genome, r.seq_idx))
+
     # ---------------------------------------------------------- printTree
     def _slice_tree(self, sl: Slice):
         """Gene tree of the slice's first column with labels/entry matches
@@ -114,7 +143,7 @@ class MafBlockBuilder:
         pos0 = (r0.tgt_hi - 1) if r0.rev else r0.tgt_lo
         tree = build_gene_tree(self.aln, r0.genome, pos0)
         keys = {}
-        for i, r in enumerate(sl.rows):
+        for i, r in enumerate(self._sorted_rows(sl)):
             p = (r.tgt_hi - 1) if r.rev else r.tgt_lo
             keys[(r.genome, r.seq_idx, p)] = i
         def label(node):
@@ -131,14 +160,88 @@ class MafBlockBuilder:
         label(tree)
         return tree
 
+    # ------------------------------------------------------ entry machine
+    def _reset_entries(self) -> None:
+        """resetEntries (halMafBlock.cpp:36-79)."""
+        kept = []
+        for e in self.entries:
+            if e.start == -1:
+                if e.last_used > 10:
+                    continue
+                e.last_used += 1
+            else:
+                e.last_used = 0
+            e.start = -1
+            e.strand = "+"
+            e.length = 0
+            e.text = []
+            kept.append(e)
+        self.entries = kept
+        self.reference = None
+        self.ref_index = None
+
+    def _init_block(self, sl: Slice) -> None:
+        """initBlock (halMafBlock.cpp:294-368)."""
+        self._reset_entries()
+        rows = self._sorted_rows(sl)
+        self._row_entries = []
+        keys = [e.key for e in self.entries]
+        used: dict[tuple, int] = {}
+        for row in rows:
+            key = (row.genome, row.seq_idx)
+            d = used.get(key, 0)
+            used[key] = d + 1
+            from bisect import bisect_left
+
+            base = bisect_left(keys, key)
+            idx = base + d
+            if idx >= len(keys) or keys[idx] != key:
+                idx = None
+            start, src_len = self._row_start_strand(row)
+            if idx is None:
+                entry = _Entry(key=key, name=self._name(row.genome, row.seq_idx),
+                               genome=row.genome, seq_idx=row.seq_idx,
+                               src_length=src_len)
+                ins = bisect_right(keys, key)
+                self.entries.insert(ins, entry)
+                keys.insert(ins, key)
+            else:
+                entry = self.entries[idx]
+            entry.start = start
+            entry.strand = "-" if row.rev else "+"
+            entry.length = 0
+            entry.text = []
+            self._row_entries.append(entry)
+
+        # _reference selection (halMafBlock.cpp:353-363)
+        ref_seq_idx = None
+        if sl.rows:
+            rg = self._g(self.ref)
+            pos = sl.lo
+            ref_seq_idx = int(np.searchsorted(rg.seq_start, pos, side="right")) - 1
+        ref_key = (self.ref, ref_seq_idx)
+        self.reference = None
+        for e in self.entries:
+            if e.key == ref_key:
+                self.reference = e
+                starts, _ = self._seqs(self.ref)
+                self.ref_index = sl.lo - starts[ref_seq_idx]
+                break
+        if self.reference is None and self.entries:
+            self.reference = self.entries[0]
+            self.ref_index = None
+
+        self.tree = (self._slice_tree(sl) if self.print_tree and sl.rows
+                     else None)
+
     def _can_append(self, sl: Slice) -> bool:
         """canAppendColumn at slice granularity (halMafBlock.cpp:401-450)."""
         if self.print_tree and self.tree is not None:
             if not sl.rows or not self._slice_tree(sl).same_shape(self.tree):
                 return False
         e = 0
-        for row in sl.rows:
-            key = (not row.is_ref, row.genome, row.seq_idx)
+        for row in self._sorted_rows(sl):
+            key = (row.genome, row.seq_idx)
             while e < len(self.entries) and self.entries[e].key != key:
                 e += 1
             if e >= len(self.entries):
@@ -155,60 +258,80 @@ class MafBlockBuilder:
             e += 1
         return True
 
-    def _append(self, sl: Slice) -> None:
-        n = sl.width
+    def _append_budget(self, sl: Slice) -> int:
+        """Columns appendable before some row's entry hits max_len (the
+        per-column `_length >= _maxLength` check, halMafBlock.cpp:426)."""
+        budget = self.max_len
         e = 0
-        for row in sl.rows:
-            key = (not row.is_ref, row.genome, row.seq_idx)
+        for row in self._sorted_rows(sl):
+            key = (row.genome, row.seq_idx)
             while e < len(self.entries) and self.entries[e].key != key:
-                self.entries[e].text.append("-" * n)
+                e += 1
+            if e < len(self.entries):
+                budget = min(budget, self.max_len - self.entries[e].length)
+                e += 1
+        return budget
+
+    def _append(self, sl: Slice) -> None:
+        """appendColumn for a whole run (halMafBlock.cpp:370-395)."""
+        n = sl.width
+        pad = "-" * n
+        e = 0
+        self._row_entries = []
+        for row in self._sorted_rows(sl):
+            key = (row.genome, row.seq_idx)
+            while e < len(self.entries) and self.entries[e].key != key:
+                self.entries[e].text.append(pad)
                 e += 1
             entry = self.entries[e]
-            start, src_len = self._row_start_strand(row)
             if entry.start == -1:
+                # late joiner: initEntry(..., clearSequence=false) keeps the
+                # '-' padding accumulated so far (halMafBlock.cpp:109-113)
+                start, _ = self._row_start_strand(row)
                 entry.start = start
                 entry.strand = "-" if row.rev else "+"
             entry.length += n
             entry.text.append(self._row_text(row))
+            self._row_entries.append(entry)
             e += 1
         for k in range(e, len(self.entries)):
-            self.entries[k].text.append("-" * n)
+            self.entries[k].text.append(pad)
 
-    def _init_block(self, sl: Slice) -> None:
-        self.entries = []
-        for row in sl.rows:
-            start, src_len = self._row_start_strand(row)
-            self.entries.append(_Entry(
-                key=(not row.is_ref, row.genome, row.seq_idx),
-                name=self._name(row.genome, row.seq_idx),
-                genome=row.genome, seq_idx=row.seq_idx,
-                src_length=src_len, is_ref=row.is_ref))
-        self.tree = (self._slice_tree(sl) if self.print_tree and sl.rows
-                     else None)
+    def _entry_line(self, e: _Entry, start=None) -> str:
+        return "s\t%s\t%d\t%d\t%s\t%d\t%s\n" % (
+            e.name, e.start if start is None else start, e.length, e.strand,
+            e.src_length, "".join(e.text))
 
     def _flush(self) -> str | None:
-        live = [e for e in self.entries if e.start != -1]
-        if not live:
+        """printBlock (halMafBlock.cpp:499-519) + the all-gaps-reference
+        suppression from MafExport (halMafExport.cpp:73-75)."""
+        ref = self.reference
+        if ref is None:
             return None
+        if not self.keep_empty_ref_blocks:
+            text = "".join(ref.text)
+            if all(c == "-" for c in text):
+                return None
         if self.print_tree and self.tree is not None:
-            return self._flush_with_tree(live)
+            return self._flush_with_tree()
         out = ["a\n"]
-        # reference entry first (printBlock :499-517)
-        live.sort(key=lambda e: (not e.is_ref, e.genome, e.seq_idx, e.start))
-        for e in live:
-            out.append("s\t%s\t%d\t%d\t%s\t%d\t%s\n"
-                       % (e.name, e.start, e.length, e.strand, e.src_length,
-                          "".join(e.text)))
+        if ref.start == -1:
+            if self.ref_index is not None:
+                out.append(self._entry_line(ref, start=self.ref_index))
+        else:
+            out.append(self._entry_line(ref))
+        for e in self.entries:
+            if e.start != -1 and e is not ref:
+                out.append(self._entry_line(e))
         return "".join(out)
 
-    def _flush_with_tree(self, live) -> str:
+    def _flush_with_tree(self) -> str:
         """printBlockWithTree (halMafBlock.cpp:485-497): reference-first
         child ordering, 'a tree=...' header, s-lines in tree post-order."""
-        # entry index -> entry object for matched nodes
         def find_ref(node, path):
             if node.row_key and node.row_key[0] == "entry":
-                e = self.entries[node.row_key[1]]
-                if e.is_ref:
+                e = self._row_entries[node.row_key[1]]
+                if e is self.reference:
                     return path + [node]
             for c in node.children:
                 r = find_ref(c, path + [node])
@@ -223,24 +346,19 @@ class MafBlockBuilder:
                 parent.children[0], parent.children[i] = (
                     parent.children[i], parent.children[0])
         out = ['a tree="%s;"\n' % self.tree.newick()]
-        live_set = {id(e) for e in live}
+        emitted = set()
         def emit(node):
             for c in node.children:
                 emit(c)
             if node.row_key and node.row_key[0] == "entry":
-                e = self.entries[node.row_key[1]]
-                if id(e) in live_set:
-                    live_set.discard(id(e))
-                    out.append("s\t%s\t%d\t%d\t%s\t%d\t%s\n"
-                               % (e.name, e.start, e.length, e.strand,
-                                  e.src_length, "".join(e.text)))
+                e = self._row_entries[node.row_key[1]]
+                if e.start != -1 and id(e) not in emitted:
+                    emitted.add(id(e))
+                    out.append(self._entry_line(e))
         emit(self.tree)
-        # any live entries not matched to tree nodes (defensive) last
-        for e in live:
-            if id(e) in live_set:
-                out.append("s\t%s\t%d\t%d\t%s\t%d\t%s\n"
-                           % (e.name, e.start, e.length, e.strand,
-                              e.src_length, "".join(e.text)))
+        for e in self.entries:
+            if e.start != -1 and id(e) not in emitted:
+                out.append(self._entry_line(e))
         return "".join(out)
 
     @staticmethod
@@ -260,44 +378,38 @@ class MafBlockBuilder:
 
     def feed(self, slices):
         """Consume slices, yielding finished MAF block strings."""
-        started = False
-        cols = 0
+        started = self.reference is not None and any(
+            e.start != -1 for e in self.entries)
         for sl in slices:
             while sl is not None:
-                n = sl.width
+                if not started:
+                    self._init_block(sl)
+                    started = True
+                elif not self._can_append(sl):
+                    block = self._flush()
+                    if block:
+                        yield block
+                    self._init_block(sl)
+                budget = self._append_budget(sl)
                 rest = None
-                cur = cols if started else 0
-                if cur + n > self.max_len:
-                    k = self.max_len - cur
-                    if k > 0:
-                        sl, rest = self._split_slice(sl, k)
-                    else:
-                        rest = sl
-                        sl = None
-                if sl is not None:
-                    if not started:
-                        self._init_block(sl)
-                        started = True
-                        cols = 0
-                    elif not self._can_append(sl):
-                        block = self._flush()
-                        if block:
-                            yield block
-                        self._init_block(sl)
-                        cols = 0
-                    self._append(sl)
-                    cols += sl.width
+                if sl.width > budget:
+                    sl, rest = self._split_slice(sl, budget)
+                self._append(sl)
                 if rest is not None:
                     block = self._flush()
                     if block:
                         yield block
                     started = False
-                    cols = 0
                 sl = rest
-        if started:
+
+    def flush_end(self):
+        """End-of-scan flush (convertSequence tail, halMafExport.cpp:85-88)."""
+        if any(e.start != -1 for e in self.entries):
             block = self._flush()
+            self._reset_entries()
             if block:
-                yield block
+                return block
+        return None
 
 
 def write_header(stream, aln: Alignment) -> None:

@@ -203,6 +203,242 @@ def build_gene_tree(aln: Alignment, ref: str, pos: int) -> TreeNode:
     return root
 
 
+# ------------------------------------------------------------- exact DFS
+#
+# Byte-exact MAF output needs the reference ColumnIterator's *insertion
+# order* of duplicate rows within a sequence (the MafBlock multimap keeps
+# per-sequence entries in insertion order, halMafBlock.cpp:294-368).  The
+# recursion below mirrors recursiveUpdate/updateParent/updateChild/
+# updateNextTopDup/updateParseUp/updateParseDown
+# (api/impl/halColumnIterator.cpp:246-356, 557-745) exactly, hoisted from
+# per-column to per-run: within a run no visited segment boundary is
+# crossed, so the DFS shape — and therefore row order — is constant.
+
+class ColumnDFS:
+    """One reference column's tree spreading, with run-length tracking."""
+
+    def __init__(self, aln: Alignment, ref: str, scope=None, targets=None,
+                 no_dupes=False, no_ancestors=False, only_orthologs=False):
+        self.aln = aln
+        self.tree = aln.tree
+        self.ref = ref
+        self.scope = scope          # None/empty = everything in scope
+        self.targets = targets      # None/empty = insert everything
+        self.no_dupes = no_dupes
+        self.no_ancestors = no_ancestors
+        self.only_orthologs = only_orthologs
+        self._g = {}
+        self._leaf = {}
+        self._slot = {}
+
+    def g(self, name):
+        gen = self._g.get(name)
+        if gen is None:
+            gen = self._g[name] = self.aln.open_genome(name)
+        return gen
+
+    def is_leaf(self, name):
+        v = self._leaf.get(name)
+        if v is None:
+            v = self._leaf[name] = self.tree.is_leaf(name)
+        return v
+
+    def _parent_in_scope(self, gname):
+        return not self.scope or self.tree.parent(gname) in self.scope
+
+    def _child_in_scope(self, gname, child):
+        return not self.scope or child in self.scope
+
+    # ---- one column -----------------------------------------------------
+    def run(self, pos: int):
+        """DFS from reference position `pos` (genome coords, forward).
+
+        Returns (rows, run_limit, ref_positions) where rows is the ordered
+        list of (genome, pos, rev) inserted into the column, run_limit the
+        number of columns before any visited segment boundary, and
+        ref_positions every visited reference-genome base as (pos, rev)
+        (the _leftmostRefPos feed, halColumnIterator.cpp:812-815)."""
+        self.rows = []
+        self.limit = 1 << 62
+        self.ref_pos = []
+        gen = self.g(self.ref)
+        si = int(gen.seq_index_at(pos))
+        seq_has_tops = int(gen.seq_top[si + 1] - gen.seq_top[si]) > 0
+        # clamp the run at the reference sequence end (toRight jumps
+        # sequences, re-initializing iterators)
+        self.limit = min(self.limit, int(gen.seq_start[si + 1]) - pos)
+        if seq_has_tops:
+            i = int(gen.top_index_at(pos))
+            self._limit_seg(gen.top_start, i, pos, False)
+            self._insert(self.ref, gen, pos, False)
+            self._update_parent(self.ref, gen, i, pos, False)
+            if not self.only_orthologs:
+                self._next_top_dup(self.ref, gen, i, pos, False)
+            self._parse_down(self.ref, gen, i, pos, False)
+        else:
+            b = int(gen.bot_index_at(pos))
+            self._limit_seg(gen.bot_start, b, pos, False)
+            self._insert(self.ref, gen, pos, False)
+            for slot, child in enumerate(self.tree.children(self.ref)):
+                self._update_child(self.ref, gen, b, pos, False, slot, child)
+        return self.rows, self.limit, self.ref_pos
+
+    # ---- helpers ----------------------------------------------------------
+    def _limit_seg(self, starts, i, pos, rev):
+        rem = (pos - int(starts[i]) + 1) if rev else (int(starts[i + 1]) - pos)
+        if rem < self.limit:
+            self.limit = rem
+
+    def _insert(self, gname, gen, pos, rev):
+        if gname == self.ref:
+            self.ref_pos.append((pos, rev))
+        if self.no_ancestors and not self.is_leaf(gname):
+            return
+        if self.targets and gname not in self.targets:
+            return
+        self.rows.append((gname, pos, rev))
+
+    def _is_canonical(self, gname, gen, i):
+        pi = int(gen.top_parent[i])
+        if pi < 0:
+            return False
+        parent = self.tree.parent(gname)
+        slot = self._slot_of(parent, gname)
+        return int(self.g(parent).bot_child[pi, slot]) == i
+
+    def _slot_of(self, parent, child):
+        key = (parent, child)
+        s = self._slot.get(key)
+        if s is None:
+            s = self._slot[key] = self.tree.child_index(parent, child)
+        return s
+
+    # ---- recursion (halColumnIterator.cpp:557-745) -------------------------
+    def _update_parent(self, gname, gen, i, pos, rev):
+        if int(gen.top_parent[i]) < 0 or not self._parent_in_scope(gname):
+            return
+        if self.no_dupes and not self._is_canonical(gname, gen, i):
+            return
+        parent = self.tree.parent(gname)
+        pg = self.g(parent)
+        pi = int(gen.top_parent[i])
+        prev = bool(gen.top_parent_reversed[i])
+        off = pos - int(gen.top_start[i])
+        seg_len = int(gen.top_start[i + 1] - gen.top_start[i])
+        ppos = int(pg.bot_start[pi]) + ((seg_len - 1 - off) if prev else off)
+        nrev = rev ^ prev
+        self._limit_seg(pg.bot_start, pi, ppos, nrev)
+        self._insert(parent, pg, ppos, nrev)
+        self._parse_up(parent, pg, pi, ppos, nrev)
+        my_slot = self._slot_of(parent, gname)
+        for slot, child in enumerate(self.tree.children(parent)):
+            if slot != my_slot:
+                self._update_child(parent, pg, pi, ppos, nrev, slot, child)
+
+    def _update_child(self, gname, gen, b, pos, rev, slot, child):
+        j = int(gen.bot_child[b, slot])
+        if j < 0 or not self._child_in_scope(gname, child):
+            return
+        cg = self.g(child)
+        crev = bool(gen.bot_child_reversed[b, slot])
+        off = pos - int(gen.bot_start[b])
+        seg_len = int(gen.bot_start[b + 1] - gen.bot_start[b])
+        cpos = int(cg.top_start[j]) + ((seg_len - 1 - off) if crev else off)
+        nrev = rev ^ crev
+        self._limit_seg(cg.top_start, j, cpos, nrev)
+        self._insert(child, cg, cpos, nrev)
+        self._next_top_dup(child, cg, j, cpos, nrev)
+        self._parse_down(child, cg, j, cpos, nrev)
+
+    def _next_top_dup(self, gname, gen, i, pos, rev):
+        if (self.no_dupes or gen.top_paralogy.shape[0] == 0
+                or int(gen.top_paralogy[i]) < 0
+                or self.tree.parent(gname) is None
+                or not self._parent_in_scope(gname)):
+            return
+        first = i
+        cur, cpos, crev = i, pos, rev
+        while True:
+            m = int(gen.top_paralogy[cur])
+            flip = bool(gen.top_parent_reversed[cur]) != bool(gen.top_parent_reversed[m])
+            off = cpos - int(gen.top_start[cur])
+            seg_len = int(gen.top_start[cur + 1] - gen.top_start[cur])
+            mpos = int(gen.top_start[m]) + ((seg_len - 1 - off) if flip else off)
+            mrev = crev ^ flip
+            self._limit_seg(gen.top_start, m, mpos, mrev)
+            self._insert(gname, gen, mpos, mrev)
+            self._parse_down(gname, gen, m, mpos, mrev)
+            cur, cpos, crev = m, mpos, mrev
+            nxt = int(gen.top_paralogy[cur])
+            if nxt < 0 or nxt == first:
+                break
+
+    def _parse_up(self, gname, gen, b, pos, rev):
+        if gen.bot_top_parse.shape[0] == 0 or int(gen.bot_top_parse[b]) < 0:
+            return
+        i = int(gen.top_index_at(pos))
+        self._limit_seg(gen.top_start, i, pos, rev)
+        self._update_parent(gname, gen, i, pos, rev)
+        if not self.only_orthologs:
+            self._next_top_dup(gname, gen, i, pos, rev)
+
+    def _parse_down(self, gname, gen, i, pos, rev):
+        if gen.top_bottom_parse.shape[0] == 0 or int(gen.top_bottom_parse[i]) < 0:
+            return
+        b = int(gen.bot_index_at(pos))
+        self._limit_seg(gen.bot_start, b, pos, rev)
+        for slot, child in enumerate(self.tree.children(gname)):
+            self._update_child(gname, gen, b, pos, rev, slot, child)
+
+
+def iter_slices_exact(aln: Alignment, ref: str, gs: int, ge: int,
+                      scope=None, targets=None, no_dupes=False,
+                      no_ancestors=False, only_orthologs=False,
+                      unique=False):
+    """Yield Slices over [gs, ge) with reference-exact row order.
+
+    Rows come back sorted by SequenceLess (genome name, sequence index —
+    halColumnIterator.h:45-50) with duplicates within a sequence in DFS
+    insertion order (stable sort).  unique implements the visit-cache
+    semantics: a column is emitted iff the current reference position is
+    the leftmost reference-genome base the traversal touches
+    (colMapInsert cache + isCanonicalOnRef, halColumnIterator.cpp:146-245,
+    halMafExport.cpp:52-62)."""
+    dfs = ColumnDFS(aln, ref, scope=scope, targets=targets, no_dupes=no_dupes,
+                    no_ancestors=no_ancestors, only_orthologs=only_orthologs)
+    genomes = dfs._g
+    pos = gs
+    while pos < ge:
+        rows, limit, ref_positions = dfs.run(pos)
+        run = min(limit, ge - pos)
+        kemit = run
+        if unique:
+            for (p0, rev) in ref_positions:
+                if rev:
+                    if p0 < pos:
+                        kemit = 0
+                    elif p0 > pos:
+                        kemit = min(kemit, (p0 - pos) // 2 + 1)
+                elif p0 < pos:
+                    kemit = 0
+        if kemit > 0:
+            out_rows = []
+            for (gname, p, rev) in rows:
+                gen = dfs.g(gname)
+                si = int(gen.seq_index_at(p))
+                if rev:
+                    out_rows.append(Row(gname, si, p - kemit + 1, p + 1, True))
+                else:
+                    out_rows.append(Row(gname, si, p, p + kemit, False))
+            if out_rows:
+                out_rows[0].is_ref = True
+            # stable: keeps DFS order within a sequence
+            order = sorted(range(len(out_rows)),
+                           key=lambda k: (out_rows[k].genome, out_rows[k].seq_idx))
+            yield Slice(pos, pos + kemit, [out_rows[k] for k in order])
+        pos += run
+
+
 def _unaligned_run(gen, lo: int, hi: int) -> bool:
     """True iff every top segment covering [lo, hi) has no parent — the
     Rearrangement::identifyInsertionFromLeftBreakpoint criterion (an

@@ -11,7 +11,8 @@ import numpy as np
 
 from hal_tpu import open_alignment
 from hal_tpu.io.maf_io import DEFAULT_MAX_BLOCK_LEN, MafBlockBuilder, write_header
-from hal_tpu.ops.column import compute_scope, iter_slices, window_fragments
+from hal_tpu.ops.column import (compute_scope, iter_slices, iter_slices_exact,
+                                window_fragments)
 from hal_tpu.tools import HalError, add_storage_options, make_parser, tool_main
 
 # reference windows are processed in chunks so memory stays bounded on
@@ -19,13 +20,25 @@ from hal_tpu.tools import HalError, add_storage_options, make_parser, tool_main
 WINDOW = 1 << 20
 
 
-def export_window(out, aln, ref, gs, ge, scope, scope_root, o, builder):
-    frags = window_fragments(aln, ref, gs, ge, scope, scope_root,
-                             do_dupes=not (o.noDupes or o.onlyOrthologs))
-    slices = iter_slices(aln, ref, gs, ge, frags,
-                         no_ancestors=o.noAncestors,
-                         unique_start=gs if o.unique else None,
-                         max_ref_gap=o.maxRefGap)
+def export_window(out, aln, ref, gs, ge, scope, targets, o, builder):
+    if o.maxRefGap > 0:
+        # indel recursion keeps the legacy fragment path (approximate row
+        # ordering); the exact DFS path covers the default flag space
+        scope_root = min(scope or set(aln.tree.names()),
+                         key=lambda n: aln.tree.depth(n))
+        frags = window_fragments(aln, ref, gs, ge, scope or set(aln.tree.names()),
+                                 scope_root,
+                                 do_dupes=not (o.noDupes or o.onlyOrthologs))
+        slices = iter_slices(aln, ref, gs, ge, frags,
+                             no_ancestors=o.noAncestors,
+                             unique_start=gs if o.unique else None,
+                             max_ref_gap=o.maxRefGap)
+    else:
+        slices = iter_slices_exact(aln, ref, gs, ge, scope=scope,
+                                   targets=targets, no_dupes=o.noDupes,
+                                   no_ancestors=o.noAncestors,
+                                   only_orthologs=o.onlyOrthologs,
+                                   unique=o.unique)
     for block in builder.feed(slices):
         out.write(block + "\n")
 
@@ -58,11 +71,27 @@ def run(argv=None):
     aln = open_alignment(o.halFile)
     ref = o.refGenome or aln.root_name
     if ref not in aln.tree:
-        raise HalError("Reference genome %s not found" % ref)
+        raise HalError("Reference genome, %s, not found in alignment" % o.refGenome)
 
-    targets = [t for t in o.targetGenomes.split(",") if t] or None
-    root = o.rootGenome or None
-    scope, scope_root = compute_scope(aln, ref, targets, root)
+    # target set: --rootGenome restricts to its subtree unless it is the
+    # alignment root; --targetGenomes adds named genomes (hal2maf.cpp:121-144)
+    target_set: set[str] = set()
+    if o.rootGenome:
+        if o.rootGenome not in aln.tree:
+            raise HalError("Root genome %s, not found in alignment" % o.rootGenome)
+        if o.rootGenome != aln.root_name:
+            target_set.update(aln.tree.postorder(o.rootGenome))
+    for t in o.targetGenomes.split(","):
+        if t:
+            if t not in aln.tree:
+                raise HalError("Target genome, %s, not found in alignment" % t)
+            target_set.add(t)
+    if target_set:
+        targets = set(target_set) | {ref}
+        scope = aln.tree.spanning_tree(sorted(targets))
+    else:
+        targets = None
+        scope = None
 
     out = sys.stdout if o.mafFile in ("stdout", "-") else open(
         o.mafFile, "a" if o.append else "w")
@@ -72,45 +101,57 @@ def run(argv=None):
     g = aln.open_genome(ref)
     builder = MafBlockBuilder(aln, ref, max_block_len=o.maxBlockLen,
                               ucsc_names=not o.onlySequenceNames,
-                              print_tree=o.printTree)
+                              print_tree=o.printTree,
+                              keep_empty_ref_blocks=o.keepEmptyRefBlocks or o.maxRefGap == 0)
 
-    def windows():
-        if o.refTargets:
-            from hal_tpu.io.bed import read_bed
-
-            stream = sys.stdin if o.refTargets == "stdin" else open(o.refTargets)
-            for bed in read_bed(stream):
-                si = g.sequence_index(bed.chrom)
-                base = int(g.seq_start[si])
-                yield base + bed.start, base + bed.end
-        elif o.refSequence:
-            si = g.sequence_index(o.refSequence)
+    def sequences():
+        """(gs, ge) per convertSequence call (hal2maf.cpp:200-206: --start/
+        --length apply to each sequence when no --refSequence given)."""
+        if o.refSequence:
+            seq_ids = [g.sequence_index(o.refSequence)]
+        else:
+            seq_ids = range(g.num_sequences)
+        for si in seq_ids:
             base = int(g.seq_start[si])
             s = o.start
             ln = o.length or (g.seq_length(si) - s)
-            if s + ln > g.seq_length(si):
+            if s >= g.seq_length(si) or s + ln > g.seq_length(si):
                 raise HalError("Invalid range specified for convertGenome")
             yield base + s, base + s + ln
-        else:
-            if o.start or o.length:
-                raise HalError("--start/--length require --refSequence")
-            for si in range(g.num_sequences):
-                yield int(g.seq_start[si]), int(g.seq_start[si + 1])
+
+    def convert_range(gs, ge):
+        pos = gs
+        while pos < ge:
+            end = min(pos + WINDOW, ge)
+            export_window(out, aln, ref, pos, end, scope, targets, o, builder)
+            pos = end
+        block = builder.flush_end()
+        if block:
+            out.write(block + "\n")
 
     if o.global_:
         # per-leaf-genome unique export with a shared visit cache
         # (reference convertEntireAlignment, halMafExport.cpp:90-160)
         _export_global(out, aln, o)
+    elif o.refTargets:
+        from hal_tpu.io.bed import read_bed
+
+        stream = sys.stdin if o.refTargets == "stdin" else open(o.refTargets)
+        for bed in read_bed(stream):
+            si = g.sequence_index(bed.chrom)
+            base = int(g.seq_start[si])
+            convert_range(base + bed.start, base + bed.end)
     else:
-        for gs, ge in windows():
-            pos = gs
-            while pos < ge:
-                end = min(pos + WINDOW, ge)
-                export_window(out, aln, ref, pos, end, scope, scope_root, o, builder)
-                pos = end
+        for gs, ge in sequences():
+            convert_range(gs, ge)
 
     if out is not sys.stdout:
         out.close()
+        # don't leave a size 0 file (hal2maf.cpp:208-215)
+        import os
+
+        if os.path.getsize(o.mafFile) == 0:
+            os.remove(o.mafFile)
 
 
 def _export_global(out, aln, o):
@@ -145,6 +186,9 @@ def _export_global(out, aln, o):
             for block in builder.feed(keep):
                 out.write(block + "\n")
             pos = end
+        block = builder.flush_end()
+        if block:
+            out.write(block + "\n")
 
 
 class _IntervalSet:

@@ -21,12 +21,20 @@ PASS_FLAGS = ["noDupes", "noAncestors", "onlySequenceNames", "onlyOrthologs",
               "keepEmptyRefBlocks"]
 
 
-def compute_slices(length: int, slice_size: int):
-    """reference computeSlices (maf/hal2mafMP.py:63-80)."""
-    pos = 0
-    while pos < length:
-        yield pos, min(slice_size, length - pos)
-        pos += slice_size
+def compute_slices(start: int, length: int, slice_size):
+    """reference computeSlices (maf/hal2mafMP.py:63-80): (start, length,
+    slice index or None when unsliced)."""
+    if length <= 0:
+        return
+    if slice_size is None or slice_size >= length:
+        yield start, length, None
+        return
+    n = length // slice_size
+    for i in range(n):
+        yield start + i * slice_size, slice_size, i
+    r = length % slice_size
+    if r > 0:
+        yield start + n * slice_size, r, n
 
 
 def run(argv=None):
@@ -58,62 +66,92 @@ def run(argv=None):
     extra = " ".join(extra)
 
     tmpdir = tempfile.mkdtemp(prefix="hal2mafMP_")
-    cmds = []
-    parts = []
+    maf_dir = os.path.dirname(o.mafFile) or "."
+    maf_base = os.path.splitext(os.path.basename(o.mafFile))[0]
+    maf_ext = ".maf"
 
-    def add(i, args):
-        out = os.path.join(tmpdir, "part_%05d.maf" % i)
-        parts.append(out)
+    cmds = []
+    # groups: final output path -> ordered slice part paths (first keeps the
+    # header; later slices append non-# lines — reference concatenateSlices,
+    # maf/hal2mafMP.py:81-100)
+    groups: dict[str, list[str]] = {}
+
+    def add(final_path, part_idx, args):
+        if part_idx is None:
+            part = final_path
+        else:
+            part = os.path.join(tmpdir, "%s_%05d_%s.maf"
+                                % (maf_base, len(cmds), os.path.basename(final_path)))
+        groups.setdefault(final_path, []).append(part)
         cmds.append("%s -m hal_tpu.tools.hal2maf %s %s --refGenome %s --unique %s"
-                    % (sys.executable, o.halFile, out, ref, args))
+                    % (sys.executable, o.halFile, part, ref, args))
+
+    def seq_lengths():
+        from hal_tpu.parallel.mp import _hal_stats
+
+        out = _hal_stats(o.halFile, "--chromSizes", ref).strip()
+        return [(l.split("\t")[0], int(l.split("\t")[1]))
+                for l in out.splitlines() if l.strip()]
 
     if o.refTargets:
         # split BED lines across processes (hal2mafMP.py:102-124)
         lines = [l for l in open(o.refTargets) if l.strip() and not l.startswith("#")]
-        chunk = max(len(lines) // max(o.numProc, 1), 1)
+        chunk = max(-(-len(lines) // max(o.numProc, 1)), 1)
+        n = 0
         for i in range(0, len(lines), chunk):
             bed = os.path.join(tmpdir, "targets_%05d.bed" % i)
             open(bed, "w").writelines(lines[i:i + chunk])
-            add(i, "%s --refTargets %s" % (extra, bed))
-    elif o.splitBySequence:
-        for i, seq in enumerate(get_hal_sequences(o.halFile, ref)):
-            add(i, "%s --refSequence %s" % (extra, seq))
+            add(o.mafFile, n if len(lines) > chunk else None,
+                "%s --refTargets %s" % (extra, bed))
+            n += 1
+    elif o.splitBySequence or o.refSequence:
+        # per-sequence coordinates; --splitBySequence writes one output MAF
+        # per sequence named <mafFile>_<sequence>.maf (hal2mafMP.py:127-146)
+        for seq, seq_len in seq_lengths():
+            if o.refSequence and seq != o.refSequence:
+                continue
+            final = (os.path.join(maf_dir, "%s_%s%s" % (maf_base, seq, maf_ext))
+                     if o.splitBySequence else o.mafFile)
+            start = o.start or 0
+            length = o.length or seq_len
+            for s, ln, idx in compute_slices(start, min(length, seq_len - start),
+                                             o.sliceSize):
+                add(final, idx, "%s --refSequence %s --start %d --length %d"
+                    % (extra, seq, s, ln))
     else:
-        length = o.length or get_hal_genome_length(o.halFile, ref)
-        slice_size = o.sliceSize or max(length // max(o.numProc, 1), 1)
-        if o.refSequence is None and not o.sliceSize and o.numProc <= 1:
-            add(0, extra)
-        else:
-            seqs = get_hal_sequences(o.halFile, ref)
-            if len(seqs) != 1:
-                # slice per sequence to keep --refSequence windows valid
-                for i, seq in enumerate(seqs):
-                    add(i, "%s --refSequence %s" % (extra, seq))
-            else:
-                i = 0
-                for s, ln in compute_slices(length, slice_size):
-                    add(i, "%s --refSequence %s --start %d --length %d"
-                        % (extra, seqs[0], s, ln))
-                    i += 1
+        # genome coordinates (hal2mafMP.py:148-172)
+        stats = seq_lengths()
+        slice_size = o.sliceSize
+        if slice_size is None and o.numProc > 1:
+            import math
+            import statistics
+
+            ref_len = o.length or int(statistics.median([ln for _, ln in stats]))
+            slice_size = math.ceil(ref_len / o.numProc)
+        for seq, seq_len in stats:
+            for s, ln, idx in compute_slices(o.start or 0,
+                                             o.length or seq_len, slice_size):
+                add(o.mafFile, idx, "%s --refSequence %s --start %d --length %d"
+                    % (extra, seq, s, ln))
 
     run_parallel_shell_commands(cmds, o.numProc)
 
-    out = sys.stdout if o.mafFile in ("stdout", "-") else open(o.mafFile, "w")
-    wrote_header = False
-    for part in parts:
-        if not os.path.exists(part):
+    for final, parts in groups.items():
+        if len(parts) == 1 and parts[0] == final:
             continue
-        with open(part) as fh:
-            for line in fh:
-                if line.startswith("#"):
-                    if not wrote_header:
-                        out.write(line)
-                    continue
-                out.write(line)
-        wrote_header = True
-        os.unlink(part)
-    if out is not sys.stdout:
-        out.close()
+        first = True
+        for part in parts:
+            if not os.path.exists(part):
+                continue
+            if first:
+                os.replace(part, final)
+                first = False
+                continue
+            with open(final, "a") as tgt, open(part) as src:
+                for line in src:
+                    if not line.startswith("#"):
+                        tgt.write(line)
+            os.unlink(part)
 
 
 def main(argv=None):

@@ -15,7 +15,11 @@ def _export(aln, ref, gs, ge, no_dupes=False, no_ancestors=False,
     frags = window_fragments(aln, ref, gs, ge, scope, root, do_dupes=not no_dupes)
     slices = iter_slices(aln, ref, gs, ge, frags, no_ancestors=no_ancestors)
     b = MafBlockBuilder(aln, ref, max_block_len=max_block_len, ucsc_names=ucsc)
-    return "\n".join(b.feed(slices))
+    blocks = list(b.feed(slices))
+    tail = b.flush_end()
+    if tail:
+        blocks.append(tail)
+    return "\n".join(blocks)
 
 
 def test_fixture_exact_output():
@@ -138,7 +142,9 @@ def test_max_ref_gap_insertion_columns():
     def export(gap):
         slices = iter_slices(aln, "Anc", 0, 30, frags, max_ref_gap=gap)
         b = MafBlockBuilder(aln, "Anc", ucsc_names=True)
-        return "\n".join(b.feed(slices))
+        blocks = list(b.feed(slices))
+        tail = b.flush_end()
+        return "\n".join(blocks + ([tail] if tail else []))
 
     base = export(0)
     assert "TAATA" not in base  # T3's bases absent without maxRefGap
@@ -161,6 +167,9 @@ def test_print_tree_blocks():
     slices = iter_slices(aln, "Anc", 0, 30, frags)
     b = MafBlockBuilder(aln, "Anc", ucsc_names=True, print_tree=True)
     blocks = list(b.feed(slices))
+    tail = b.flush_end()
+    if tail:
+        blocks.append(tail)
     assert all(blk.startswith('a tree="') for blk in blocks)
     # the dup block at Anc 10-15 has both B paralogs as siblings
     dup = next(blk for blk in blocks if blk.count("s\tB.B_seq") == 2)

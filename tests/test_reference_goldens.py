@@ -57,6 +57,86 @@ def _golden(path):
         return f.read()
 
 
+@pytest.fixture(scope="module")
+def small_hal(tmp_path_factory):
+    """halRandGen --preset small --seed 0 --testRand equivalent — the
+    fixture every liftover/maf golden was generated from
+    (liftover/Makefile:66-68).  Our generator replicates the reference's
+    mt19937 stream and random model bit-exactly (hal_tpu.randgen_exact)."""
+    from hal_tpu.randgen_exact import create_preset_alignment_exact
+    from hal_tpu.storage import hdf5_driver
+
+    out = tmp_path_factory.mktemp("fixtures") / "small.hal"
+    aln = create_preset_alignment_exact("small", 0)
+    hdf5_driver.save(aln, str(out))
+    return str(out)
+
+
+LIFTOVER_CASES = [
+    ("halLiftoverBed3Test.bed", "test1.bed3", []),
+    ("halLiftoverBed12Test.bed", "test1.bed12", []),
+    ("halLiftoverBed12ExtraTest.bed", "test1.bed12+2", []),
+    ("halLiftoverBed4ExtraTest.bed", "test1.bed4+2", ["--bedType", "4"]),
+    ("halLiftoverPsl3Test.psl", "test1.bed3", ["--outPSL"]),
+    ("halLiftoverPsl12Test.psl", "test1.bed12", ["--outPSL"]),
+]
+
+
+@pytest.mark.parametrize("golden,bed,flags", LIFTOVER_CASES,
+                         ids=[c[0] for c in LIFTOVER_CASES])
+def test_halLiftover_goldens(small_hal, tmp_path, golden, bed, flags):
+    """halLiftover Genome_0 -> Genome_2 vs liftover/tests/expected
+    (liftover/Makefile:32-64)."""
+    out = tmp_path / "out"
+    run_tool(["hal_tpu.tools.halLiftover"] + flags +
+             [small_hal, "Genome_0", REF + "/liftover/tests/input/" + bed,
+              "Genome_2", str(out)])
+    assert out.read_bytes() == _golden(REF + "/liftover/tests/expected/" + golden)
+
+
+MAF_CASES = [
+    ("hal2mafSmallTest.maf", []),
+    ("hal2mafSeqTest.maf", ["--refGenome", "Genome_2", "--refSequence",
+                            "Genome_2_seq", "--unique"]),
+    ("hal2mafSeqPartTest.maf", ["--refGenome", "Genome_2", "--refSequence",
+                                "Genome_2_seq", "--start", "1000",
+                                "--length", "2000"]),
+]
+
+
+@pytest.mark.parametrize("golden,flags", MAF_CASES, ids=[c[0] for c in MAF_CASES])
+def test_hal2maf_goldens(small_hal, tmp_path, golden, flags):
+    """hal2maf vs maf/tests/expected (maf/Makefile:40-56)."""
+    out = tmp_path / "out.maf"
+    run_tool(["hal_tpu.tools.hal2maf"] + [small_hal, str(out)] + flags)
+    assert out.read_bytes() == _golden(REF + "/maf/tests/expected/" + golden)
+
+
+def test_hal2mafMP_by_sequence(small_hal, tmp_path):
+    """hal2mafMP.py --sliceSize=250 --splitBySequence (maf/Makefile:64-66)."""
+    out = tmp_path / "t.maf"
+    run_tool(["hal_tpu.tools.hal2mafMP", "--sliceSize=250",
+              "--splitBySequence", small_hal, str(out)])
+    got = (tmp_path / "t_Genome_0_seq.maf").read_bytes()
+    assert got == _golden(REF + "/maf/tests/expected/hal2mafMPBySeqTest_Genome_0_seq.maf")
+
+
+def test_hal2mafMP_target_genomes(small_hal, tmp_path):
+    out = tmp_path / "t.maf"
+    run_tool(["hal_tpu.tools.hal2mafMP", "--refGenome", "Genome_3",
+              "--targetGenomes", "Genome_1,Genome_2", small_hal, str(out)])
+    assert out.read_bytes() == _golden(
+        REF + "/maf/tests/expected/hal2mafMPTargetGenomesTest.maf")
+
+
+def test_hal2mafMP_ref_targets(small_hal, tmp_path):
+    out = tmp_path / "t.maf"
+    run_tool(["hal_tpu.tools.hal2mafMP", "--refTargets",
+              REF + "/maf/tests/input/small-Genome_0.bed", small_hal, str(out)])
+    assert out.read_bytes() == _golden(
+        REF + "/maf/tests/expected/hal2mafMPRefTargetsGenomesTest.maf")
+
+
 def test_hal2paf_small_mmap10(small_mmap10):
     """hal2paf --onlySequenceNames on the legacy mmap fixture
     (paf/Makefile:20-22)."""
