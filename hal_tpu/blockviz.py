@@ -135,11 +135,134 @@ def get_dna(handle: Handle, species: str, chrom: str, start: int, end: int) -> s
         return g.get_dna_string(int(g.seq_start[si]) + start, end - start)
 
 
+def _cut_at(frags: sm.Fragments, cuts) -> sm.Fragments:
+    """Split fragments at source-coordinate cut positions (the reference's
+    targetCutSet = {absRefFirst, absRefLast} passed to extractSegment,
+    halBlockViz.cpp:799-801), so adjacency extensions stay separate blocks."""
+    src_lo, src_hi, tgt_lo, tgt_hi, rev = [], [], [], [], []
+    for i in range(len(frags.src_lo)):
+        lo, hi = int(frags.src_lo[i]), int(frags.src_hi[i])
+        points = [lo] + [c for c in sorted(cuts) if lo < c < hi] + [hi]
+        for a, b in zip(points, points[1:]):
+            src_lo.append(a)
+            src_hi.append(b)
+            if frags.rev[i]:
+                tgt_hi.append(int(frags.tgt_hi[i]) - (a - lo))
+                tgt_lo.append(int(frags.tgt_hi[i]) - (b - lo))
+            else:
+                tgt_lo.append(int(frags.tgt_lo[i]) + (a - lo))
+                tgt_hi.append(int(frags.tgt_lo[i]) + (b - lo))
+            rev.append(int(frags.rev[i]))
+    return sm.Fragments(np.array(src_lo, np.int64), np.array(src_hi, np.int64),
+                        np.array(tgt_lo, np.int64), np.array(tgt_hi, np.int64),
+                        np.array(rev, np.uint8))
+
+
+def _map_adjacencies(aln, frags: sm.Fragments, t_species: str, q_species: str,
+                     do_dupes: bool) -> sm.Fragments:
+    """BlockMapper::mapAdjacencies (liftover/impl/halBlockMapper.cpp:121-245):
+    for each mapped query interval, probe one query segment beyond each end
+    (maxAdjScan=1), cut the probe against the neighboring mapped interval,
+    map it back to the target genome, and add non-overlapping back-mappings
+    (nearest copy on ties) to the fragment set."""
+    qg = aln.open_genome(q_species)
+    n = len(frags.src_lo)
+    if n == 0:
+        return frags
+    order = np.argsort(frags.tgt_lo, kind="stable")
+    q_iv = [(int(frags.tgt_lo[i]), int(frags.tgt_hi[i]), bool(frags.rev[i]),
+             int(frags.src_lo[i])) for i in order]
+    out = [frags]
+    covered = [(lo, hi) for lo, hi, _, _ in q_iv]
+
+    seg_starts = qg.top_start if qg.num_top_segments else qg.bot_start
+
+    def seg_of(pos):
+        return int(np.searchsorted(seg_starts, pos, side="right")) - 1
+
+    added = []
+    for k, (qlo, qhi, qrev, ref_anchor) in enumerate(q_iv):
+        for right in (True, False):
+            # direction in forward query coords: a reversed iterator's
+            # "right" walks left (makeIterator + toRight semantics)
+            fwd = right != qrev
+            if fwd:
+                s = seg_of(qhi - 1)
+                if qhi < int(seg_starts[s + 1]):
+                    plo, phi = qhi, int(seg_starts[s + 1])
+                elif s + 1 < len(seg_starts) - 1:
+                    plo, phi = int(seg_starts[s + 1]), int(seg_starts[s + 2])
+                else:
+                    continue
+                nb = q_iv[k + 1] if k + 1 < len(q_iv) else None
+            else:
+                s = seg_of(qlo)
+                if qlo > int(seg_starts[s]):
+                    plo, phi = int(seg_starts[s]), qlo
+                elif s > 0:
+                    plo, phi = int(seg_starts[s - 1]), int(seg_starts[s])
+                else:
+                    continue
+                nb = q_iv[k - 1] if k > 0 else None
+            # cutByNext (halBlockMapper.cpp:273-330), same-segment only
+            if nb is not None and seg_of(nb[0]) == seg_of(plo):
+                if fwd:
+                    if plo >= nb[0]:
+                        continue
+                    if phi > nb[0]:
+                        phi = nb[0]
+                else:
+                    if phi <= nb[1]:
+                        continue
+                    if plo < nb[1]:
+                        plo = nb[1]
+            if phi <= plo:
+                continue
+            back = sm.map_source(aln, q_species, np.array([plo]),
+                                 np.array([phi]), t_species, do_dupes=do_dupes)
+            if len(back.src_lo) == 0:
+                continue
+            # flip to (src=target genome, tgt=query) and drop overlaps with
+            # already-mapped query intervals
+            cands = []
+            for i in range(len(back.src_lo)):
+                c_qlo, c_qhi = int(back.src_lo[i]), int(back.src_hi[i])
+                c_tlo, c_thi = int(back.tgt_lo[i]), int(back.tgt_hi[i])
+                if any(c_qlo < hi and lo < c_qhi for lo, hi in covered):
+                    continue
+                cands.append((c_qlo, c_qhi, c_tlo, c_thi, int(back.rev[i])))
+            # nearest-copy dedupe over identical query intervals
+            by_iv: dict = {}
+            for c in cands:
+                by_iv.setdefault((c[0], c[1]), []).append(c)
+            for iv, group in by_iv.items():
+                best = min(group, key=lambda c: min(abs(c[2] - ref_anchor),
+                                                    abs(c[3] - 1 - ref_anchor)))
+                added.append(best)
+                covered.append((best[0], best[1]))
+
+    if added:
+        out.append(sm.Fragments(
+            np.array([c[2] for c in added], np.int64),
+            np.array([c[3] for c in added], np.int64),
+            np.array([c[0] for c in added], np.int64),
+            np.array([c[1] for c in added], np.int64),
+            np.array([c[4] for c in added], np.uint8)))
+        return sm.Fragments(
+            np.concatenate([f.src_lo for f in out]),
+            np.concatenate([f.src_hi for f in out]),
+            np.concatenate([f.tgt_lo for f in out]),
+            np.concatenate([f.tgt_hi for f in out]),
+            np.concatenate([f.rev for f in out]))
+    return frags
+
+
 def get_blocks_in_target_range(handle: Handle, q_species: str, t_species: str,
                                t_chrom: str, t_start: int, t_end: int,
                                seq_mode: int = HAL_NO_SEQUENCE,
                                dup_mode: int = HAL_QUERY_DUPS,
-                               map_back_adjacencies: bool = False):
+                               map_back_adjacencies: bool = False,
+                               coalescence_limit: str | None = None):
     """halGetBlocksInTargetRange (halBlockViz.cpp:243, readBlocks :759-813).
 
     Returns (blocks, target_dupes): query-genome alignment blocks of the
@@ -155,11 +278,18 @@ def get_blocks_in_target_range(handle: Handle, q_species: str, t_species: str,
         base = int(tg.seq_start[si])
         gs, ge = base + t_start, base + t_end
         frags = sm.map_source(aln, t_species, np.array([gs]), np.array([ge]),
-                              q_species, do_dupes=dup_mode != HAL_NO_DUPS)
+                              q_species, do_dupes=dup_mode != HAL_NO_DUPS,
+                              coalescence_limit=coalescence_limit)
+        if map_back_adjacencies:
+            frags = _map_adjacencies(aln, frags, t_species, q_species,
+                                     do_dupes=dup_mode != HAL_NO_DUPS)
         merged = sm.merge_colinear(frags, seq_bounds=qg.seq_start)
+        merged = _cut_at(merged, (gs, ge))
         want_seq = seq_mode != HAL_NO_SEQUENCE and qg.has_dna and tg.has_dna
         blocks = []
-        order = np.argsort(merged.src_lo, kind="stable")
+        # hal_block_t list follows MappedSegmentSet order: sorted by the
+        # query-genome (mapping target) coordinates (halMappedSegment.h:69-77)
+        order = np.argsort(merged.tgt_lo, kind="stable")
         for i in order:
             qsi = int(np.searchsorted(qg.seq_start, int(merged.tgt_lo[i]), side="right")) - 1
             qbase = int(qg.seq_start[qsi])

@@ -35,35 +35,39 @@ class PslBlock:
 
 
 def build_blocks(aln, query, target, query_chromosome=None):
+    """Anchor PSL blocks: lift every query chromosome through the liftover
+    PSL pipeline and decompose the merged intervals into per-block PSLs
+    (reference Hal2Psl::convert2psl + makeUpPsl,
+    synteny/impl/hal2psl.cpp:21-95)."""
+    from hal_tpu.io.bed import BedLine
+    from hal_tpu.ops.liftover import Liftover
+
     qg = aln.open_genome(query)
-    tg = aln.open_genome(target)
+    lifter = Liftover(aln, query, target, traverse_dupes=True, out_psl=True)
     blocks = []
-    seqs = range(qg.num_sequences)
-    if query_chromosome:
-        seqs = [qg.sequence_index(query_chromosome)]
-    for si in seqs:
-        lo = int(qg.seq_start[si])
-        hi = int(qg.seq_start[si + 1])
-        if hi <= lo:
+    for si in range(qg.num_sequences):
+        chrom = qg.seq_names[si]
+        if query_chromosome and chrom != query_chromosome:
             continue
-        frags = sm.map_source(aln, query, np.array([lo]), np.array([hi]), target,
-                              do_dupes=True)
-        merged = sm.merge_colinear(frags, seq_bounds=tg.seq_start)
-        for i in range(len(merged)):
-            ql = int(merged.src_lo[i]) - lo
-            qh = int(merged.src_hi[i]) - lo
-            tsi = int(np.searchsorted(tg.seq_start, int(merged.tgt_lo[i]), side="right")) - 1
-            tbase = int(tg.seq_start[tsi])
-            t_size = tg.seq_length(tsi)
-            tl = int(merged.tgt_lo[i]) - tbase
-            th = int(merged.tgt_hi[i]) - tbase
-            rev = bool(merged.rev[i])
-            if rev:
-                tl, th = t_size - th, t_size - tl
-            blocks.append(PslBlock(ql, qh, tl, th, qh - ql,
-                                   "+-" if rev else "++",
-                                   qg.seq_names[si], tg.seq_names[tsi],
-                                   qg.seq_length(si), t_size))
+        seq_len = qg.seq_length(si)
+        if seq_len <= 0:
+            continue
+        bed = BedLine(chrom=chrom, start=0, end=seq_len, bed_type=3)
+        for line in lifter.visit_line(bed):
+            psl = line.psl
+            for (s, ln), q in zip(line.blocks, psl.q_block_starts):
+                qs = q - psl.q_chrom_offset
+                qe = qs + ln
+                if psl.q_strand == "-":
+                    qs, qe = psl.q_seq_size - qs - ln, psl.q_seq_size - qs
+                ts = s + line.start
+                te = ts + ln
+                if line.strand == "-":
+                    ts, te = psl.t_seq_size - ts - ln, psl.t_seq_size - ts
+                blocks.append(PslBlock(qs, qe, ts, te, ln,
+                                       psl.q_strand + line.strand,
+                                       psl.q_seq_name, line.chrom,
+                                       psl.q_seq_size, psl.t_seq_size))
     return blocks
 
 

@@ -137,6 +137,35 @@ def test_hal2mafMP_ref_targets(small_hal, tmp_path):
         REF + "/maf/tests/expected/hal2mafMPRefTargetsGenomesTest.maf")
 
 
+def test_halSynteny_golden(tmp_path):
+    """halSynteny Genome_14->Genome_18 on the medium-preset fixture
+    (synteny/Makefile:23-29, default preset = medium)."""
+    from hal_tpu.randgen_exact import create_preset_alignment_exact
+    from hal_tpu.storage import hdf5_driver
+
+    hal = tmp_path / "rand1.hal"
+    hdf5_driver.save(create_preset_alignment_exact("medium", 0), str(hal))
+    out = tmp_path / "test1.psl"
+    run_tool(["hal_tpu.tools.halSynteny", "--queryGenome", "Genome_14",
+              "--targetGenome", "Genome_18", str(hal), str(out)])
+    assert out.read_bytes() == _golden(REF + "/synteny/tests/expected/test1.psl")
+
+
+def test_blockViz_golden(tmp_path):
+    """blockVizTest --verbose --doSeq on the small preset with
+    3000-5000bp segments (blockViz/Makefile:52-67)."""
+    from hal_tpu.randgen_exact import create_preset_alignment_exact
+    from hal_tpu.storage import hdf5_driver
+
+    hal = tmp_path / "small_bv.hal"
+    hdf5_driver.save(create_preset_alignment_exact(
+        "small", 0, min_segment_length=3000, max_segment_length=5000), str(hal))
+    got = run_tool(["hal_tpu.tools.blockVizTest", "--verbose", "--doSeq",
+                    str(hal), "Genome_2", "Genome_0", "Genome_0_seq", "0", "3000"])
+    assert got == _golden(REF + "/blockViz/tests/expected/blockVizHdf5Tests.out")
+    assert got == _golden(REF + "/blockViz/tests/expected/blockVizMmapTests.out")
+
+
 def test_hal2paf_small_mmap10(small_mmap10):
     """hal2paf --onlySequenceNames on the legacy mmap fixture
     (paf/Makefile:20-22)."""
