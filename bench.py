@@ -1,15 +1,28 @@
 #!/usr/bin/env python
 """hal_tpu benchmark: lifted BED intervals/s/chip on the device segment-map
-kernel (the BASELINE.json headline metric).
+kernel at mammal scale (the BASELINE.json headline metric).
+
+Fixture: 10 genomes, >=1M bottom segments each, ~2.3 Gb genome length —
+coordinates exceed int32, so the int64 device path and the paged segment
+lookup (segmap_jax._build_page_table) are what is measured.  The round-1
+toy fixture (180 kb genomes) is gone per VERDICT.md "What's weak" #1.
 
 Prints ONE JSON line:
   {"metric": "lifted_intervals_per_s_per_chip", "value": N,
    "unit": "intervals/s", "vs_baseline": R}
 
-vs_baseline = device rate / single-thread vectorized host (numpy) rate —
-the host path is the faithful stand-in for the reference's per-interval C++
-loop on this machine (the reference repo publishes no numbers to compare
-against, BASELINE.md).
+value = HONEST end-to-end rate: dispatch + on-device valid-compaction +
+device->host transfer of the exact result bytes (VERDICT "weak" #2).  The
+compute-only pipelined rate is printed to stderr alongside.
+
+vs_baseline = end-to-end device rate / single-process vectorized host
+(numpy) rate — the host path stands in for the reference's per-interval
+C++ loop on this machine (the reference publishes no numbers, BASELINE.md).
+
+Compile strategy (VERDICT "next" #7): per-level expansion totals are
+computed EXACTLY on host (segmap_jax.host_level_totals), caps are bucketed
+to powers of two, and the persistent XLA compilation cache is enabled —
+one device compile per (program, caps), reused across runs.
 """
 
 from __future__ import annotations
@@ -24,12 +37,12 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 N_GENOMES = 10
-N_BOT = 3000          # bottom segments per genome
-SEG_LEN = 60          # ~180 kb genomes
+N_BOT = 1 << 20        # >=1M bottom segments per genome
+SEG_LEN = 2200         # ~2.3 Gb genomes -> int64 coordinates
 N_INTERVALS = 1 << 20  # intervals per batch
 MAX_IVLEN = 200
-TIMED_ITERS = 20
-HOST_SAMPLE = 2048
+TIMED_ITERS = 10
+HOST_SAMPLE = 4096
 
 
 def build_alignment():
@@ -40,8 +53,15 @@ def build_alignment():
         seed=7, max_genomes=N_GENOMES, min_genomes=N_GENOMES - 1,
         mean_degree=1.5, max_branch_length=0.2,
         min_segment_length=SEG_LEN, max_segment_length=SEG_LEN + 20,
-        min_segments=N_BOT // 2, max_segments=N_BOT)
-    sys.stderr.write("fixture: %d genomes in %.1fs\n" % (aln.num_genomes, time.time() - t0))
+        min_segments=N_BOT, max_segments=N_BOT + N_BOT // 8,
+        store_dna=False)
+    total_segs = sum(aln.open_genome(n).num_bottom_segments
+                     + aln.open_genome(n).num_top_segments
+                     for n in aln.genome_names())
+    sys.stderr.write("fixture: %d genomes, %.1fM segments, %.2f Gb max in %.1fs\n"
+                     % (aln.num_genomes, total_segs / 1e6,
+                        max(aln.open_genome(n).length for n in aln.genome_names()) / 1e9,
+                        time.time() - t0))
     return aln
 
 
@@ -59,11 +79,18 @@ def pick_pair(aln):
     return best[1], best[2]
 
 
+def fetch_scalar(x):
+    """Honest device sync: fetch one scalar (jax.block_until_ready does not
+    wait on the axon tunnel backend)."""
+    return int(np.asarray(x.reshape(1))[0])
+
+
 def main():
     import jax
 
     from hal_tpu.ops import segmap_jax as sj
 
+    sj.enable_compile_cache()
     dev = jax.devices()[0]
     sys.stderr.write("device: %s\n" % dev)
 
@@ -77,72 +104,63 @@ def main():
     lo = rng.integers(0, g.length - MAX_IVLEN, N_INTERVALS).astype(np.int64)
     hi = lo + rng.integers(1, MAX_IVLEN, N_INTERVALS)
 
+    t0 = time.time()
     path = sj.PathData.build(aln, src, tgt)
+    dtype = path.levels[0].grid.dtype
+    sys.stderr.write("path tables: %.1fs, dtype %s, pages %s\n"
+                     % (time.time() - t0, dtype,
+                        [(lv.page_shift if lv.page_tab is not None else 0)
+                         for lv in path.levels]))
+
+    # exact host sizing -> tight pow2 caps -> ONE device compile
+    t0 = time.time()
+    totals = sj.host_level_totals(aln, src, tgt, lo, hi)
+    caps = sj.tight_caps(path, totals)
+    sys.stderr.write("host sizing: %.1fs, totals %s -> caps %s\n"
+                     % (time.time() - t0, totals, caps))
+
     import jax.numpy as jnp
 
-    dtype = path.levels[0].grid.dtype
     lo_d = jnp.asarray(lo, dtype)
     hi_d = jnp.asarray(hi, dtype)
     own_d = jnp.arange(N_INTERVALS, dtype=dtype)
 
-    # sizing pass on a small subsample with generous caps -> measured
-    # per-level expansion factors -> one tight-cap compile for the full
-    # batch (static shapes; avoids compiling a giant generous-cap program)
-    M = 1 << 14
-    sub = (lo_d[:M], hi_d[:M], own_d[:M])
-    caps_s = tuple(int(M * 8 * (min(l.max_ring + 1, 4) if l.max_ring else 1))
-                   for l in path.levels)
     t0 = time.time()
-    _F, _b, ovf, level_totals = sj._map_batch_jit(path, *sub, caps_s)
-    assert not bool(np.asarray(jnp.reshape(ovf, (1,)))[0]), "sizing overflow"
-    lt = np.asarray(level_totals)  # (n_levels, 2): split/ring valid counts
-    sys.stderr.write("sizing pass: %.1fs, level totals %s\n"
-                     % (time.time() - t0, lt.tolist()))
+    F, bound, ovf, _ = sj._map_batch_jit(path, lo_d, hi_d, own_d, caps)
+    assert not fetch_scalar(ovf), "tight capacity overflow"
+    sys.stderr.write("compile+first run: %.1fs\n" % (time.time() - t0))
 
-    def round_up(x):
-        return int(-(-int(x) // 8192) * 8192)
-
-    scale = (N_INTERVALS // M) * 1.4
-    caps = tuple(
-        (round_up(sv * scale), round_up(max(rv * scale, 8192)))
-        if (l.kind == "down" and l.max_ring) else round_up(sv * scale)
-        for (sv, rv), l in zip(lt, path.levels))
-    t0 = time.time()
-    F, bound, ovf, level_totals = sj._map_batch_jit(path, lo_d, hi_d, own_d, caps)
-    assert not bool(np.asarray(jnp.reshape(ovf, (1,)))[0]), "safe capacity overflow"
-    sys.stderr.write("safe-caps compile: %.1fs, caps %s\n" % (time.time() - t0, caps))
-
-    # second sizing stage: the safe-cap run yields EXACT full-batch totals
-    # per level, so the timed program runs at ~2% slack — every cap-sized op
-    # (gathers, scans, elementwise) shrinks ~27% vs the 1.4x safety margin
-    lt_full = np.asarray(level_totals)
-    caps = tuple(
-        (round_up(sv * 1.02), round_up(max(rv * 1.02, 8192)))
-        if (l.kind == "down" and l.max_ring) else round_up(sv * 1.02)
-        for (sv, rv), l in zip(lt_full, path.levels))
-    t0 = time.time()
-    F, bound, ovf, level_totals = sj._map_batch_jit(path, lo_d, hi_d, own_d, caps)
-    assert not bool(np.asarray(jnp.reshape(ovf, (1,)))[0]), "tight capacity overflow"
-    sys.stderr.write("tight-caps compile: %.1fs, caps %s\n" % (time.time() - t0, caps))
-
-    # timed: dispatch TIMED_ITERS batches, then force completion by fetching
-    # the LAST batch's bound scalar — the device executes computations in
-    # dispatch order, so the last completing implies all completed.  (NB
-    # jax.block_until_ready does not reliably wait on tunneled backends;
-    # a data fetch is the only honest sync.)
+    # compute-only: dispatch TIMED_ITERS batches, sync on the last scalar
     t0 = time.time()
     for _ in range(TIMED_ITERS):
         F, bound, ovf, _ = sj._map_batch_jit(path, lo_d, hi_d, own_d, caps)
-    assert not bool(np.asarray(jnp.reshape(ovf, (1,)))[0]), "timed overflow"
+    assert not fetch_scalar(ovf), "timed overflow"
     dt = (time.time() - t0) / TIMED_ITERS
-    device_rate = N_INTERVALS / dt
-    sys.stderr.write("device (pipelined): %.4fs/batch -> %.0f intervals/s\n" % (dt, device_rate))
+    compute_rate = N_INTERVALS / dt
+    sys.stderr.write("device compute (pipelined): %.4fs/batch -> %.0f intervals/s\n"
+                     % (dt, compute_rate))
 
-    # end-to-end including result download for the last batch
+    # end-to-end: map + compact + download the exact result bytes.
+    # dispatch ALL batches first (device queue), then drain transfers —
+    # D2H copies of finished batches overlap later batches' compute.
+    # the packed encoding halves the bytes (coords int64, meta int32)
+    Cc, Mm, total = sj._compact_packed_jit(F)
+    k = fetch_scalar(total)  # warm the compaction compile
     t0 = time.time()
-    k = int(np.asarray(jnp.reshape(bound, (1,)))[0])
-    M = np.asarray(F[:, :k])
-    sys.stderr.write("result download: %.3fs for %d rows\n" % (time.time() - t0, k))
+    pending = []
+    for _ in range(TIMED_ITERS):
+        F, bound, ovf, _ = sj._map_batch_jit(path, lo_d, hi_d, own_d, caps)
+        pending.append(sj._compact_packed_jit(F))
+    nbytes = 0
+    for Cc, Mm, total in pending:
+        k = fetch_scalar(total)
+        C = np.asarray(Cc[:, :k])
+        M = np.asarray(Mm[:, :k])
+        nbytes = C.nbytes + M.nbytes
+    e2e = (time.time() - t0) / TIMED_ITERS
+    e2e_rate = N_INTERVALS / e2e
+    sys.stderr.write("device end-to-end (pipelined): %.4fs/batch (%d rows, %.1f MB) -> %.0f intervals/s\n"
+                     % (e2e, k, nbytes / 1e6, e2e_rate))
 
     # host baseline: vectorized numpy mapper on a subsample
     from hal_tpu.ops import segmap_host as sm
@@ -151,13 +169,14 @@ def main():
     sm.map_source(aln, src, lo[:HOST_SAMPLE], hi[:HOST_SAMPLE], tgt)
     host_dt = time.time() - t0
     host_rate = HOST_SAMPLE / host_dt
-    sys.stderr.write("host: %.3fs/%d -> %.0f intervals/s\n" % (host_dt, HOST_SAMPLE, host_rate))
+    sys.stderr.write("host: %.3fs/%d -> %.0f intervals/s\n"
+                     % (host_dt, HOST_SAMPLE, host_rate))
 
     print(json.dumps({
         "metric": "lifted_intervals_per_s_per_chip",
-        "value": round(device_rate, 1),
+        "value": round(e2e_rate, 1),
         "unit": "intervals/s",
-        "vs_baseline": round(device_rate / host_rate, 2),
+        "vs_baseline": round(e2e_rate / host_rate, 2),
     }))
 
 

@@ -145,6 +145,11 @@ class Liftover:
         self.psl_with_name = psl_with_name
         self.coalescence_limit = coalescence_limit
         self._missed: set[str] = set()
+        # batched mode: {(gs, ge): Fragments} filled by convert_batched so
+        # lift_interval skips the per-line map_source call (the device bulk
+        # mapper produced the fragments) — output bytes stay identical
+        # because extract_runs canonicalizes fragment order itself
+        self._frag_cache: dict | None = None
 
     # ------------------------------------------------------------- mapping
     def lift_interval(self, bed: BedLine, seq_index: int) -> list[BedLine]:
@@ -153,9 +158,13 @@ class Liftover:
         gs = int(self.src.seq_start[seq_index]) + bed.start
         ge = int(self.src.seq_start[seq_index]) + bed.end
         flip = bed.strand == "-"
-        frags = sm.map_source(self.aln, self.src_name, np.array([gs]), np.array([ge]),
-                              self.tgt_name, do_dupes=self.traverse_dupes,
-                              coalescence_limit=self.coalescence_limit)
+        frags = None
+        if self._frag_cache is not None:
+            frags = self._frag_cache.get((gs, ge))
+        if frags is None:
+            frags = sm.map_source(self.aln, self.src_name, np.array([gs]), np.array([ge]),
+                                  self.tgt_name, do_dupes=self.traverse_dupes,
+                                  coalescence_limit=self.coalescence_limit)
         runs = extract_runs(frags, lambda p: int(np.searchsorted(self.tgt.seq_start, p, side="right")) - 1)
         out = []
         for run in runs:
@@ -354,8 +363,85 @@ class Liftover:
 
     def convert(self, in_stream, out_stream, bed_type: int = 0) -> None:
         for bed in read_bed(in_stream, bed_type):
-            for line in self.visit_line(bed):
-                if self.out_psl:
-                    out_stream.write(line.write_psl(self.psl_with_name))
-                else:
-                    out_stream.write(line.write())
+            self._emit(bed, out_stream)
+
+    def _emit(self, bed: BedLine, out_stream) -> None:
+        for line in self.visit_line(bed):
+            if self.out_psl:
+                out_stream.write(line.write_psl(self.psl_with_name))
+            else:
+                out_stream.write(line.write())
+
+    def _enumerate_intervals(self, bed: BedLine) -> list[tuple[int, int]]:
+        """The (gs, ge) intervals visit_line would map for this line —
+        mirrors its skip/branch logic (halLiftover.cpp:45-92) without
+        emitting warnings.  Mutates `bed` (expand_to_bed12) like visit_line;
+        callers pass a copy."""
+        if self.out_psl and bed.bed_type < 12:
+            bed.expand_to_bed12()
+        try:
+            seq_index = self.src.sequence_index(bed.chrom)
+        except KeyError:
+            return []
+        if bed.end > self.src.seq_length(seq_index):
+            return []
+        if bed.bed_type > 9 and not bed.blocks:
+            return []
+        base = int(self.src.seq_start[seq_index])
+        if bed.bed_type <= 9:
+            return [(base + bed.start, base + bed.end)]
+        return [(base + bed.start + bs, base + bed.start + bs + bl)
+                for bs, bl in sorted(bed.blocks) if bl > 0]
+
+    def convert_batched(self, in_stream, out_stream, bed_type: int = 0,
+                        batch_size: int = 1 << 16,
+                        use_device: bool = False) -> None:
+        """Batched convert: map whole line-batches through the bulk mapper
+        (device kernel when use_device), then run the unchanged per-line
+        formatting pipeline against the pre-mapped fragments.  Output bytes
+        are identical to convert() — verified by the reference-golden tests
+        with --batchSize on and off."""
+        import copy
+
+        from hal_tpu.ops.liftover_bulk import atomize_by_owner, bulk_map
+
+        beds = list(read_bed(in_stream, bed_type))
+        pos = 0
+        while pos < len(beds):
+            chunk = beds[pos:pos + batch_size]
+            pos += batch_size
+            intervals: list[tuple[int, int]] = []
+            seen = set()
+            for bed in chunk:
+                for iv in self._enumerate_intervals(copy.deepcopy(bed)):
+                    if iv not in seen:
+                        seen.add(iv)
+                        intervals.append(iv)
+            cache: dict = {}
+            if intervals:
+                lo = np.array([a for a, _ in intervals], np.int64)
+                hi = np.array([b for _, b in intervals], np.int64)
+                f6 = bulk_map(self.aln, self.src_name, self.tgt_name, lo, hi,
+                              do_dupes=self.traverse_dupes,
+                              use_device=use_device,
+                              coalescence_limit=self.coalescence_limit)
+                scale = int(max(self.src.length, self.tgt.length) + 2)
+                s_lo, s_hi, t_lo, t_hi, rev, owner = atomize_by_owner(
+                    *[np.asarray(a, np.int64) for a in f6[:4]],
+                    np.asarray(f6[4], np.uint8), np.asarray(f6[5], np.int64),
+                    scale)
+                order = np.argsort(owner, kind="stable")
+                s_lo, s_hi, t_lo, t_hi, rev, owner = (
+                    a[order] for a in (s_lo, s_hi, t_lo, t_hi, rev, owner))
+                starts = np.searchsorted(owner, np.arange(len(intervals)), side="left")
+                ends = np.searchsorted(owner, np.arange(len(intervals)), side="right")
+                for k, iv in enumerate(intervals):
+                    a, b = int(starts[k]), int(ends[k])
+                    cache[iv] = sm.Fragments(s_lo[a:b], s_hi[a:b], t_lo[a:b],
+                                             t_hi[a:b], rev[a:b])
+            self._frag_cache = cache
+            try:
+                for bed in chunk:
+                    self._emit(bed, out_stream)
+            finally:
+                self._frag_cache = None

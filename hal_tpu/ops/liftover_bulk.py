@@ -40,7 +40,8 @@ def bulk_map(aln: Alignment, src: str, tgt: str, lo, hi, do_dupes=True,
     if use_device:
         from hal_tpu.ops import segmap_jax as sj
 
-        path = sj.PathData.build(aln, src, tgt, do_dupes=do_dupes)
+        path = sj.PathData.build(aln, src, tgt, do_dupes=do_dupes,
+                                 coalescence_limit=coalescence_limit)
         return sj.map_batch(path, lo, hi)
     # host: map per batch with owner tracking by running the shared-fragment
     # machinery one owner-batch at a time is too slow; instead exploit that

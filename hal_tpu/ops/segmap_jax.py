@@ -62,20 +62,66 @@ C_SLO, C_SHI, C_TLO, C_THI, C_REV, C_OWN, C_VALID, C_AUX = range(8)
 USE_PALLAS_SCANS = True
 
 # grids up to this many entries use the Pallas compare-count searchsorted
-# (hal_tpu.ops.pallas_kernels); larger grids or non-TPU backends fall back
-# to jnp.searchsorted(method='sort')
+# (hal_tpu.ops.pallas_kernels); larger grids use the paged binary search
+# below (the bitonic searchsorted(method='sort') is never used on TPU)
 _PALLAS_GRID_LIMIT = 65536
 
+# paged lookup: window of candidate segments per query after the page-table
+# hop; pages are sized on host so a page never spans more segments
+_PAGE_WINDOW = 64
 
-def _searchsorted_right(grid, q):
-    if (grid.dtype == jnp.int32 and q.dtype == jnp.int32
-            and grid.shape[0] <= _PALLAS_GRID_LIMIT
-            and jax.default_backend() != "cpu"):
-        from hal_tpu.ops import pallas_kernels as pk
 
-        gp, n_pad = pk.pad_grid(grid)
-        return pk.searchsorted_right(gp, n_pad, q)
-    return jnp.searchsorted(grid, q, side="right", method="sort")
+def _build_page_table(starts: np.ndarray):
+    """Host precompute for mammal-scale grids: page_first[k] = index of the
+    segment containing coordinate k << shift.  The page shift is chosen so
+    no page overlaps more than _PAGE_WINDOW-1 segment starts, bounding the
+    device-side binary search to log2(_PAGE_WINDOW) clipped gathers — this
+    replaces both the O(n*q) compare-count (too big past ~64k segments) and
+    jnp.searchsorted(method='sort') (a bitonic sort, the single slowest XLA
+    op here) for arbitrarily large genomes.
+
+    Returns (page_first int32 array, shift) or (None, 0) when unbuildable."""
+    n_seg = len(starts) - 1
+    total = int(starts[-1]) if len(starts) else 0
+    if n_seg <= 1 or total <= 1:
+        return None, 0
+    starts = np.asarray(starts, np.int64)
+    shift = max(int(total - 1).bit_length(), 1)
+    while True:
+        bounds = np.arange(0, total + (1 << shift), 1 << shift, dtype=np.int64)
+        firsts = np.searchsorted(starts, bounds[:-1], side="right") - 1
+        lasts = np.searchsorted(
+            starts, np.minimum(bounds[1:], total) - 1, side="right") - 1
+        span = int((lasts - firsts).max()) + 1 if len(firsts) else 1
+        if span <= _PAGE_WINDOW - 1:
+            return np.maximum(firsts, 0).astype(np.int32), shift
+        if shift == 1 or len(bounds) > 4 * n_seg + 16:
+            return None, 0  # pathological clustering: caller falls back
+        shift -= 1
+
+
+def _searchsorted_right(grid, q, page_tab=None, page_shift=0):
+    if grid.shape[0] <= _PALLAS_GRID_LIMIT or page_tab is None:
+        if (grid.dtype == jnp.int32 and q.dtype == jnp.int32
+                and grid.shape[0] <= _PALLAS_GRID_LIMIT
+                and jax.default_backend() != "cpu"):
+            from hal_tpu.ops import pallas_kernels as pk
+
+            gp, n_pad = pk.pad_grid(grid)
+            return pk.searchsorted_right(gp, n_pad, q)
+        return jnp.searchsorted(grid, q, side="right", method="sort")
+    # paged: page-table hop + unrolled binary search over the page window.
+    # returns searchsorted_right(grid, q) for in-range q (0 <= q < end).
+    n = grid.shape[0]
+    dt = q.dtype
+    page = jnp.clip((q >> page_shift).astype(jnp.int32), 0, page_tab.shape[0] - 1)
+    i = jnp.take(page_tab, page).astype(dt)
+    step = _PAGE_WINDOW >> 1
+    while step:
+        j = jnp.minimum(i + step, n - 1)
+        i = jnp.where(jnp.take(grid, j) <= q, j, i)
+        step >>= 1
+    return i + 1
 
 
 @dataclass(frozen=True)
@@ -96,25 +142,47 @@ class Level:
     # (4, nnz) rows: [member_start, member_next_start, flip, 0] (down+dupes)
     ring_mem_tab: jnp.ndarray
     max_ring: int
+    # mammal-scale lookup: page_first table + shift (None for small grids)
+    page_tab: jnp.ndarray | None = None
+    page_shift: int = 0
 
 
 @dataclass(frozen=True)
 class PathData:
     levels: tuple
     n_up: int
+    # paralogy branches above the MRCA (--coalescenceLimit, reference
+    # mapRecursiveParalogies halSegmentMapper.cpp:525-576): branch k =
+    # (up Level to height k, down Levels back to the MRCA with rings);
+    # branch outputs are unioned with the MRCA fragments before the main
+    # down phase
+    para: tuple = ()
+    min_length: int = 0
 
     @classmethod
     def build(cls, aln: Alignment, src: str, tgt: str, do_dupes: bool = True,
-              dtype=None) -> "PathData":
+              dtype=None, coalescence_limit: str | None = None,
+              min_length: int = 0) -> "PathData":
         """dtype: coordinate dtype for device arrays; defaults to int32 when
         every genome on the path fits (TPU-friendly), else int64."""
         tree = aln.tree
         mrca = tree.lca(src, tgt)
+        limit = coalescence_limit or mrca
+        # limit must be an ancestor of (or equal to) the mrca
+        anc = mrca
+        chain = [mrca]
+        while anc != limit:
+            anc = tree.parent(anc)
+            if anc is None:
+                raise ValueError("coalescence limit %s is not an ancestor of "
+                                 "the MRCA %s" % (limit, mrca))
+            chain.append(anc)
+        nodes = set(tree.path(src, tgt)) | set(chain)
         if dtype is None:
-            max_len = max(aln.open_genome(n).length for n in tree.path(src, tgt))
+            max_len = max(aln.open_genome(n).length for n in nodes)
             max_seg = max(max(aln.open_genome(n).num_top_segments,
                               aln.open_genome(n).num_bottom_segments)
-                          for n in tree.path(src, tgt))
+                          for n in nodes)
             dtype = jnp.int32 if max(max_len, max_seg) < 2 ** 31 - 2 else jnp.int64
         np_dtype = np.int32 if dtype == jnp.int32 else np.int64
 
@@ -145,16 +213,19 @@ class PathData:
             return pack4(starts[:n_seg], starts[1:n_seg + 1], ds,
                          np.asarray(lrev, np.int64), has, rcj, roj, z)
 
-        levels = []
-        cur = src
-        # ---- up levels -------------------------------------------------
-        while cur != mrca:
+        def pages(starts):
+            pt, ps = ((None, 0) if len(starts) <= _PALLAS_GRID_LIMIT
+                      else _build_page_table(starts))
+            return (None if pt is None else jnp.asarray(pt)), ps
+
+        def up_level(cur: str) -> Level:
             g = aln.open_genome(cur)
             parent = tree.parent(cur)
             pg = aln.open_genome(parent)
             n_seg = g.num_top_segments
             z0 = np.zeros(0, np.int64)
-            levels.append(Level(
+            pt, ps = pages(g.top_start)
+            return Level(
                 kind="up",
                 grid=A(g.top_start),
                 seg_table=seg_tab(g.top_start, g.top_parent[:n_seg],
@@ -162,65 +233,91 @@ class PathData:
                                   pg.bot_start[:pg.num_bottom_segments], z0, z0),
                 ring_mem_tab=pack4(np.zeros(0, np.int64)),
                 max_ring=0,
-            ))
-            cur = parent
+                page_tab=pt, page_shift=ps,
+            )
+
+        def down_level(cur: str, nxt: str, rings: bool) -> Level:
+            g = aln.open_genome(cur)
+            cg = aln.open_genome(nxt)
+            slot = tree.child_index(cur, nxt)
+            n_seg = g.num_bottom_segments
+            nd = cg.num_top_segments
+            max_ring = 0
+            rc = np.zeros(nd, np.int64)
+            ro = np.zeros(nd, np.int64)
+            rm = np.zeros(0, np.int64)
+            rf = np.zeros(0, np.uint8)
+            if rings and (cg.top_paralogy != NULL_INDEX).any():
+                rc, ro, rm, rf = _build_ring_csr(cg.top_paralogy,
+                                                 cg.top_parent_reversed)
+                max_ring = int(rc.max()) + 1
+            link = (g.bot_child[:n_seg, slot] if n_seg
+                    else np.zeros(0, np.int64))
+            lrev = (g.bot_child_reversed[:n_seg, slot].astype(np.int64)
+                    if n_seg else np.zeros(0, np.int64))
+            mem = rm.astype(np.int64)
+            pt, ps = pages(g.bot_start)
+            return Level(
+                kind="down",
+                grid=A(g.bot_start),
+                seg_table=seg_tab(g.bot_start, link, lrev,
+                                  cg.top_start[:nd], rc[:nd], ro[:nd]),
+                ring_mem_tab=pack4(cg.top_start[mem] if len(mem) else mem,
+                                   cg.top_start[mem + 1] if len(mem) else mem,
+                                   rf.astype(np.int64)),
+                max_ring=max_ring,
+                page_tab=pt, page_shift=ps,
+            )
+
+        levels = []
+        cur = src
+        while cur != mrca:
+            levels.append(up_level(cur))
+            cur = tree.parent(cur)
         n_up = len(levels)
-        # ---- down levels -----------------------------------------------
         if cur != tgt:
             for nxt in tree.path(cur, tgt)[1:]:
-                g = aln.open_genome(cur)
-                cg = aln.open_genome(nxt)
-                slot = tree.child_index(cur, nxt)
-                n_seg = g.num_bottom_segments
-                nd = cg.num_top_segments
-                max_ring = 0
-                rc = np.zeros(nd, np.int64)
-                ro = np.zeros(nd, np.int64)
-                rm = np.zeros(0, np.int64)
-                rf = np.zeros(0, np.uint8)
-                if do_dupes and (cg.top_paralogy != NULL_INDEX).any():
-                    rc, ro, rm, rf = _build_ring_csr(cg.top_paralogy,
-                                                     cg.top_parent_reversed)
-                    max_ring = int(rc.max()) + 1
-                link = (g.bot_child[:n_seg, slot] if n_seg
-                        else np.zeros(0, np.int64))
-                lrev = (g.bot_child_reversed[:n_seg, slot].astype(np.int64)
-                        if n_seg else np.zeros(0, np.int64))
-                mem = rm.astype(np.int64)
-                levels.append(Level(
-                    kind="down",
-                    grid=A(g.bot_start),
-                    seg_table=seg_tab(g.bot_start, link, lrev,
-                                      cg.top_start[:nd], rc[:nd], ro[:nd]),
-                    ring_mem_tab=pack4(cg.top_start[mem] if len(mem) else mem,
-                                       cg.top_start[mem + 1] if len(mem) else mem,
-                                       rf.astype(np.int64)),
-                    max_ring=max_ring,
-                ))
+                levels.append(down_level(cur, nxt, do_dupes))
                 cur = nxt
-        return cls(levels=tuple(levels), n_up=n_up)
+
+        para = []
+        if do_dupes and limit != mrca:
+            # branch k: hop up k levels above the MRCA, come back down with
+            # ring expansion at every hop — captures every paralog class
+            # coalescing at height <= k (union over k = host
+            # _map_paralogies; fragments whose up-chain ends early are
+            # preserved by the shallower branches)
+            for k in range(1, len(chain)):
+                up = up_level(chain[k - 1])
+                downs = tuple(down_level(chain[j + 1], chain[j], True)
+                              for j in range(k - 1, -1, -1))
+                para.append((up, downs))
+        return cls(levels=tuple(levels), n_up=n_up, para=tuple(para),
+                   min_length=int(min_length))
 
 
 def _level_flatten(lv: Level):
-    children = (lv.grid, lv.seg_table, lv.ring_mem_tab)
-    aux = (lv.kind, lv.max_ring)
+    children = (lv.grid, lv.seg_table, lv.ring_mem_tab, lv.page_tab)
+    aux = (lv.kind, lv.max_ring, lv.page_shift)
     return children, aux
 
 
 def _level_unflatten(aux, children):
-    return Level(kind=aux[0], max_ring=aux[1], grid=children[0],
-                 seg_table=children[1], ring_mem_tab=children[2])
+    return Level(kind=aux[0], max_ring=aux[1], page_shift=aux[2],
+                 grid=children[0], seg_table=children[1],
+                 ring_mem_tab=children[2], page_tab=children[3])
 
 
 jax.tree_util.register_pytree_node(Level, _level_flatten, _level_unflatten)
 
 
 def _path_flatten(p: PathData):
-    return (p.levels,), (p.n_up,)
+    return (p.levels, p.para), (p.n_up, p.min_length)
 
 
 def _path_unflatten(aux, children):
-    return PathData(levels=children[0], n_up=aux[0])
+    return PathData(levels=children[0], para=children[1], n_up=aux[0],
+                    min_length=aux[1])
 
 
 jax.tree_util.register_pytree_node(PathData, _path_flatten, _path_unflatten)
@@ -289,7 +386,7 @@ def _expand_owner(counts, cap_out):
     return own, offsets, total
 
 
-def _split_hop(level: Level, F, cap_out):
+def _split_hop(level: Level, F, cap_out, min_length: int = 0):
     """Split fragment targets at this level's segment grid, then hop each
     piece across the link (up: top->parent bottom; down: bottom->child top).
 
@@ -301,8 +398,10 @@ def _split_hop(level: Level, F, cap_out):
     t_lo = F[C_TLO]
     t_hi = F[C_THI]
     valid = F[C_VALID] > 0
-    i0 = _searchsorted_right(level.grid, t_lo) - 1
-    i1 = _searchsorted_right(level.grid, t_hi - 1) - 1
+    i0 = _searchsorted_right(level.grid, t_lo, level.page_tab,
+                             level.page_shift) - 1
+    i1 = _searchsorted_right(level.grid, t_hi - 1, level.page_tab,
+                             level.page_shift) - 1
     counts = jnp.where(valid, jnp.maximum(i1 - i0 + 1, 0), 0)
     own, offsets, total = _expand_owner(counts, cap_out)
     # gather-once source matrix: [s_lo, s_hi, t_lo, t_hi, rev, owner, offset, i0]
@@ -319,7 +418,7 @@ def _split_hop(level: Level, F, cap_out):
     adv = jnp.where(rev > 0, R[C_THI] - p_hi, p_lo - R[C_TLO])
     s_lo = R[C_SLO] + adv
     ln = p_hi - p_lo
-    v = (j < total) & (ln > 0)
+    v = (j < total) & (ln >= max(min_length, 1))
     # hop across the (pre-joined) link
     lrev = ST[3]
     has = v & (ST[4] > 0)
@@ -375,19 +474,33 @@ def _final_bound(F):
 def _run_path(path: PathData, lo, hi, owner, caps):
     """Trace the whole path; returns the packed (8, cap) fragment matrix
     [s_lo, s_hi, t_lo, t_hi, rev, owner, valid, aux], the last-valid bound,
-    the overflow flag and per-level valid totals."""
+    the overflow flag and per-level valid totals.
+
+    caps is consumed in traversal order: one per up level, then per
+    paralogy-branch hop (up + each down incl. ring), then per main down
+    level (split cap or (split, ring) tuple)."""
     n = lo.shape[0]
     dt = lo.dtype
+    ml = path.min_length
     z = jnp.zeros(n, dt)
     F = jnp.stack([lo, hi, lo, hi, z, owner, (hi > lo).astype(dt), z], axis=0)
     overflow = jnp.asarray(False)
     level_totals = []
-    for li, level in enumerate(path.levels):
-        cap = caps[li]
-        split_cap, ring_cap = cap if isinstance(cap, tuple) else (cap, cap)
-        F, ring_counts, ring_offsets, stot, ov1 = _split_hop(level, F, split_cap)
+    caps = list(caps)
+    cap_i = 0
+
+    def next_cap():
+        nonlocal cap_i
+        c = caps[cap_i]
+        cap_i += 1
+        return c if isinstance(c, tuple) else (c, c)
+
+    def apply_level(level, F):
+        nonlocal overflow
+        split_cap, ring_cap = next_cap()
+        F, ring_counts, ring_offsets, stot, ov1 = _split_hop(level, F,
+                                                             split_cap, ml)
         overflow |= ov1
-        # expansion SLOT totals (what the caps must bound), not valid counts
         sv = stot.astype(jnp.int32)
         rv = jnp.zeros((), jnp.int32)
         if level.kind == "down" and level.max_ring > 0:
@@ -396,6 +509,27 @@ def _run_path(path: PathData, lo, hi, owner, caps):
             overflow |= ov2
             rv = rtot.astype(jnp.int32)
         level_totals.append(jnp.stack([sv, rv]))
+        return F
+
+    for level in path.levels[:path.n_up]:
+        F = apply_level(level, F)
+
+    if path.para:
+        # paralogy branches above the MRCA: chain up, fan each branch back
+        # down with rings, union with the MRCA fragments
+        branches = [F]
+        G = F
+        for (up, downs) in path.para:
+            G = apply_level(up, G)
+            H = G
+            for dlv in downs:
+                H = apply_level(dlv, H)
+            branches.append(H)
+        F = jnp.concatenate(branches, axis=1)
+
+    for level in path.levels[path.n_up:]:
+        F = apply_level(level, F)
+
     bound = _final_bound(F)
     return F, bound, overflow, (jnp.stack(level_totals) if level_totals
                                 else jnp.zeros((0, 2), jnp.int32))
@@ -404,6 +538,165 @@ def _run_path(path: PathData, lo, hi, owner, caps):
 @functools.partial(jax.jit, static_argnames=("caps",))
 def _map_batch_jit(path: PathData, lo, hi, owner, caps):
     return _run_path(path, lo, hi, owner, caps)
+
+
+@jax.jit
+def _compact_jit(F):
+    """Scatter-compact valid fragment columns to the front; returns the
+    compacted (6, cap) result matrix (aux rows dropped) and the valid
+    count — the host then transfers exactly count columns instead of the
+    padded capacity (the honest end-to-end path; device->host may cross a
+    network tunnel)."""
+    valid = F[C_VALID] > 0
+    pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    total = jnp.where(valid.shape[0] > 0, pos[-1] + 1, 0)
+    idx = jnp.where(valid, pos, F.shape[1])  # invalid -> dropped
+    out = jnp.zeros_like(F[:6]).at[:, idx].set(F[:6], mode="drop")
+    return out, total
+
+
+@jax.jit
+def _compact_packed_jit(F):
+    """Compaction with a transfer-minimal encoding: coordinates stay int64
+    but length/rev/owner drop to one int32 row each —
+    (coords (2, cap) int64 [s_lo, t_lo], meta (3, cap) int32
+    [len, rev, owner], count).  Halves device->host bytes vs the full
+    (6, cap) int64 matrix; reconstruct with s_hi = s_lo + len,
+    t_hi = t_lo + len."""
+    valid = F[C_VALID] > 0
+    pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    total = jnp.where(valid.shape[0] > 0, pos[-1] + 1, 0)
+    idx = jnp.where(valid, pos, F.shape[1])
+    coords = jnp.stack([F[C_SLO], F[C_TLO]], axis=0)
+    meta = jnp.stack([F[C_SHI] - F[C_SLO], F[C_REV], F[C_OWN]],
+                     axis=0).astype(jnp.int32)
+    out_c = jnp.zeros_like(coords).at[:, idx].set(coords, mode="drop")
+    out_m = jnp.zeros_like(meta).at[:, idx].set(meta, mode="drop")
+    return out_c, out_m, total
+
+
+def enable_compile_cache(path: str = "~/.cache/hal_tpu_jax") -> None:
+    """Persistent XLA compilation cache: first compile of each (program,
+    caps) pair is written to disk; subsequent processes load it in ms.
+    Call before the first jit dispatch."""
+    import os
+
+    d = os.path.expanduser(path)
+    try:
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is an optimization; never fail on it
+        pass
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(int(x) - 1, 1).bit_length()
+
+
+def _bucket_cap(x: int) -> int:
+    """Round up to a quarter-octave bucket ({4,5,6,7} * 2^k): at most 25%
+    slack instead of pow2's 100%, while keeping the compile-cache key space
+    finite."""
+    x = max(int(x), 16)
+    base = 1 << max(x.bit_length() - 1, 2)  # largest pow2 <= x
+    quarter = base >> 2
+    for m in (4, 5, 6, 7, 8):
+        c = m * quarter
+        if c >= x:
+            return c
+    return 2 * base
+
+
+def host_level_totals(aln: Alignment, src: str, tgt: str, lo, hi,
+                      do_dupes: bool = True):
+    """Exact per-level expansion totals, computed on host with numpy in one
+    vectorized pass per level (mirrors _run_path's split/ring algebra).
+
+    Replaces the device 'sizing pass' — a separate generous-caps compile
+    that dominated round-1 bench time — so the device program compiles
+    ONCE with tight power-of-two caps.  Returns [(split_total, ring_total)]
+    per level."""
+    tree = aln.tree
+    t_lo = np.asarray(lo, np.int64)
+    t_hi = np.asarray(hi, np.int64)
+    totals = []
+    nodes = tree.path(src, tgt)
+    cur = src
+    for nxt in nodes[1:]:
+        g = aln.open_genome(cur)
+        going_up = tree.parent(cur) == nxt
+        ng = aln.open_genome(nxt)
+        if going_up:
+            starts = g.top_start
+            link = g.top_parent
+            lrev = g.top_parent_reversed.astype(np.int64)
+            dst = ng.bot_start
+            ring_count = None
+        else:
+            slot = tree.child_index(cur, nxt)
+            starts = g.bot_start
+            link = g.bot_child[:, slot] if g.num_bottom_segments else np.zeros(0, np.int64)
+            lrev = (g.bot_child_reversed[:, slot].astype(np.int64)
+                    if g.num_bottom_segments else np.zeros(0, np.int64))
+            dst = ng.top_start
+            ring_count = None
+            if do_dupes and ng.top_paralogy.size and (ng.top_paralogy != NULL_INDEX).any():
+                rc, ro, rm, rf = _build_ring_csr(ng.top_paralogy,
+                                                 ng.top_parent_reversed)
+                ring_count = (rc, ro, rm, rf, ng.top_start)
+        i0 = np.searchsorted(starts, t_lo, side="right") - 1
+        i1 = np.searchsorted(starts, t_hi - 1, side="right") - 1
+        counts = np.maximum(i1 - i0 + 1, 0) * (t_hi > t_lo)
+        split_total = int(counts.sum())
+        own = np.repeat(np.arange(len(counts)), counts)
+        offs = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        seg = i0[own] + (np.arange(len(own)) - offs[own])
+        p_lo = np.maximum(t_lo[own], starts[seg])
+        p_hi = np.minimum(t_hi[own], starts[seg + 1])
+        li = link[seg] if len(link) else np.full(len(seg), NULL_INDEX)
+        keep = (p_hi > p_lo) & (li != NULL_INDEX)
+        seg, p_lo, p_hi, li = seg[keep], p_lo[keep], p_hi[keep], li[keep]
+        lr = lrev[seg] if len(lrev) else np.zeros(len(seg), np.int64)
+        ds = dst[li]
+        off = p_lo - starts[seg]
+        mirrored = starts[seg + 1] - p_hi
+        new_lo = np.where(lr > 0, ds + mirrored, ds + off)
+        ln = p_hi - p_lo
+        t_lo2, t_hi2 = new_lo, new_lo + ln
+        ring_total = 0
+        if ring_count is not None:
+            rc, ro, rm, rf, cstarts = ring_count
+            rcs = rc[li]
+            ring_total = int(rcs.sum())
+            rown = np.repeat(np.arange(len(rcs)), rcs)
+            roffs = np.concatenate([[0], np.cumsum(rcs)])[:-1]
+            midx = rm[ro[li][rown] + (np.arange(len(rown)) - roffs[rown])]
+            offm = t_lo2[rown] - cstarts[li[rown]]
+            mln = ln[rown]
+            flip = rf[ro[li][rown] + (np.arange(len(rown)) - roffs[rown])]
+            nlo = np.where(flip > 0, cstarts[midx + 1] - offm - mln,
+                           cstarts[midx] + offm)
+            t_lo2 = np.concatenate([t_lo2, nlo])
+            t_hi2 = np.concatenate([t_hi2, nlo + mln])
+        totals.append((split_total, ring_total))
+        t_lo, t_hi = t_lo2, t_hi2
+        cur = nxt
+    return totals
+
+
+def tight_caps(path: PathData, totals, slack: float = 1.0):
+    """Quarter-octave bucketed caps from host_level_totals output
+    (main-chain paths only; paralogy branches use map_batch's retry caps)."""
+    assert not path.para, "tight_caps sizes main-chain paths only"
+    caps = []
+    for level, (sv, rv) in zip(path.levels, totals):
+        c = _bucket_cap(int(sv * slack))
+        if level.kind == "down" and level.max_ring:
+            caps.append((c, _bucket_cap(int(rv * slack))))
+        else:
+            caps.append(c)
+    return tuple(caps)
 
 
 def map_batch(path: PathData, lo, hi, owner=None, cap_mult: int = 4):
@@ -422,14 +715,19 @@ def map_batch(path: PathData, lo, hi, owner=None, cap_mult: int = 4):
         owner = jnp.asarray(owner, dtype)
     mult = cap_mult
     while True:
-        caps = []
         base = max(n, 16)
-        for level in path.levels:
-            c = base * mult
+
+        def cap_for(level):
+            c = _next_pow2(base * mult)
             if level.kind == "down" and level.max_ring:
-                caps.append((int(c), int(c * min(level.max_ring, 4))))
-            else:
-                caps.append(int(c))
+                return (int(c), _next_pow2(c * min(level.max_ring, 4)))
+            return int(c)
+
+        caps = [cap_for(lv) for lv in path.levels[:path.n_up]]
+        for (up, downs) in path.para:
+            caps.append(cap_for(up))
+            caps.extend(cap_for(d) for d in downs)
+        caps.extend(cap_for(lv) for lv in path.levels[path.n_up:])
         F, bound, overflow, level_totals = _map_batch_jit(path, lo, hi, owner,
                                                           tuple(caps))
         if not bool(np.asarray(overflow.reshape(1))[0]):

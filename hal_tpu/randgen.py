@@ -112,13 +112,14 @@ def create_random_dimensions(
     return dims
 
 
-def _alloc_genome(aln: Alignment, name: str, d: dict) -> GenomeArrays:
+def _alloc_genome(aln: Alignment, name: str, d: dict, store_dna: bool = True) -> GenomeArrays:
     from hal_tpu.genome import SequenceInfo
 
     g = GenomeArrays.create(
         name,
         [SequenceInfo(name + "_seq", d["length"], d["n_top"], d["n_bot"])] if d["length"] else [],
         num_children=d["n_children"],
+        store_dna=store_dna,
     )
     g.name = name
     n_top, n_bot = d["n_top"], d["n_bot"]
@@ -146,7 +147,7 @@ def create_random_genome(
     parent_name = aln.tree.parent(name)
     if parent_name is None:
         # random root DNA
-        if d["length"]:
+        if d["length"] and g.dna.size:
             bases = _DNA[rng.integers(0, 4, d["length"])]
             g.set_dna(0, bases)
         return
@@ -186,24 +187,27 @@ def create_random_genome(
     pg.bot_child[pidx, child_slot] = tidx
     pg.bot_child_reversed[pidx, child_slot] = reversed_[mapped]
 
-    # paralogy rings: tops sharing a parent bottom, ring-linked in index order
+    # paralogy rings: tops sharing a parent bottom, ring-linked in index
+    # order (vectorized group-boundary scan; the python group loop was the
+    # mammal-scale fixture bottleneck)
     order = np.argsort(pidx, kind="stable")
     sp, st = pidx[order], tidx[order]
     ring_next = np.full(n_top, NULL_INDEX, np.int64)
-    i = 0
-    while i < len(sp):
-        j = i
-        while j + 1 < len(sp) and sp[j + 1] == sp[i]:
-            j += 1
-        if j > i:
-            members = st[i : j + 1]
-            ring_next[members[:-1]] = members[1:]
-            ring_next[members[-1]] = members[0]
-        i = j + 1
+    if len(sp):
+        grp_start_mask = np.r_[True, sp[1:] != sp[:-1]]
+        grp_start = np.flatnonzero(grp_start_mask)
+        grp_end = np.r_[grp_start[1:], len(sp)]
+        sizes = grp_end - grp_start
+        nxt = np.empty_like(st)
+        if len(st) > 1:
+            nxt[:-1] = st[1:]
+        nxt[grp_end - 1] = st[grp_start]
+        in_ring = np.repeat(sizes > 1, sizes)
+        ring_next[st[in_ring]] = nxt[in_ring]
     g.top_paralogy = ring_next
 
     # DNA: copy parent segment (revcomp when inverted), substitute, or random
-    if d["length"]:
+    if d["length"] and g.dna.size:
         out = np.empty(d["length"], np.uint8)
         top_size = d["top_size"]
         for i in range(n_top):
@@ -233,15 +237,18 @@ def create_random_alignment(
     max_segment_length: int = 10,
     min_segments: int = 1,
     max_segments: int = 10,
+    store_dna: bool = True,
 ) -> Alignment:
     """End-to-end random alignment (reference createRandomAlignment,
-    api/tests/halRandomData.h:17)."""
+    api/tests/halRandomData.h:17).  store_dna=False skips DNA generation
+    (structure-only fixtures for mammal-scale benchmarks; the reference
+    supports DNA-less genomes the same way, halGenome.h:53-57)."""
     rng = np.random.default_rng(seed)
     aln = create_random_tree(rng, mean_degree, max_branch_length, min_genomes, max_genomes)
     dims = create_random_dimensions(rng, aln, min_segment_length, max_segment_length,
                                     min_segments, max_segments)
     for name in aln.tree.preorder():
-        aln.set_genome(_alloc_genome(aln, name, dims[name]))
+        aln.set_genome(_alloc_genome(aln, name, dims[name], store_dna=store_dna))
     for name in aln.tree.preorder():
         create_random_genome(rng, aln, name, dims)
     return aln

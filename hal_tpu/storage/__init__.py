@@ -51,10 +51,6 @@ def open_alignment(path: str, mode: str = "r") -> Alignment:
         return open_remote(path)
     fmt = detect_format(path)
     if fmt == FORMAT_MMAP:
-        if mode != "r":
-            raise ValueError(
-                "mmap-format alignments are read-only in hal_tpu; "
-                "convert with halExtract (reference extract/impl/halExtract.cpp)")
         from hal_tpu.storage import mmap_driver
 
         return mmap_driver.load(path)
@@ -78,5 +74,9 @@ def save_alignment(aln: Alignment, path: str, fmt: str | None = None, **opts) ->
         from hal_tpu.storage import halz
 
         halz.save(aln, path, **opts)
+    elif fmt == FORMAT_MMAP:
+        from hal_tpu.storage import mmap_driver
+
+        mmap_driver.save(aln, path, **opts)
     else:
         raise ValueError("unknown format %s" % fmt)

@@ -69,13 +69,9 @@ def run(argv=None):
     if fmt:
         kw["fmt"] = fmt
     else:
-        from hal_tpu.constants import FORMAT_HALZ, FORMAT_MMAP
         from hal_tpu.storage import detect_format
 
         kw["fmt"] = detect_format(o.inHalPath)
-        if kw["fmt"] == FORMAT_MMAP:
-            # mmap is a read-only interop format here; convert to native
-            kw["fmt"] = FORMAT_HALZ
     save_alignment(aln, o.outHalPath, **kw)
 
 

@@ -25,6 +25,11 @@ def run(argv=None):
     p.add_argument("--outPSL", action="store_true")
     p.add_argument("--outPSLWithName", action="store_true")
     p.add_argument("--bedType", type=int, default=0)
+    p.add_argument("--batchSize", type=int, default=0,
+                   help="map this many BED lines per batch through the bulk "
+                        "mapper (the TPU kernel when a device is present); "
+                        "0 = per-line host mapping.  Output is identical "
+                        "either way")
     add_storage_options(p)
     o = p.parse_args(argv)
 
@@ -48,7 +53,22 @@ def run(argv=None):
         out_stream = sys.stdout
     else:
         out_stream = open(o.tgtBed, "a" if o.append else "w")
-    lift.convert(in_stream, out_stream, o.bedType)
+    if o.batchSize > 0:
+        use_device = False
+        try:
+            import jax
+
+            use_device = jax.default_backend() not in ("cpu",)
+            if use_device:
+                from hal_tpu.ops.segmap_jax import enable_compile_cache
+
+                enable_compile_cache()
+        except Exception:
+            pass
+        lift.convert_batched(in_stream, out_stream, o.bedType,
+                             batch_size=o.batchSize, use_device=use_device)
+    else:
+        lift.convert(in_stream, out_stream, o.bedType)
     if out_stream is not sys.stdout:
         out_stream.close()
 

@@ -28,6 +28,9 @@ def run(argv=None):
     p.add_argument("--noDupes", action="store_true")
     p.add_argument("--append", action="store_true")
     p.add_argument("--unique", action="store_true")
+    p.add_argument("--batchSize", type=int, default=0,
+                   help="map wiggle runs through the device bulk mapper "
+                        "when a TPU is present; output is identical")
     add_storage_options(p)
     o = p.parse_args(argv)
     aln = open_alignment(o.halFile)
@@ -35,6 +38,35 @@ def run(argv=None):
         raise HalError("source or target genome not found")
     sg = aln.open_genome(o.srcGenome)
     tg = aln.open_genome(o.tgtGenome)
+
+    device_path = None
+    if o.batchSize > 0:
+        try:
+            import jax
+
+            if jax.default_backend() not in ("cpu",):
+                from hal_tpu.ops import segmap_jax as sj
+
+                sj.enable_compile_cache()
+                device_path = sj.PathData.build(aln, o.srcGenome, o.tgtGenome,
+                                                do_dupes=not o.noDupes)
+        except Exception:
+            device_path = None
+
+    def map_intervals(lo, hi):
+        """Device or host interval mapping with identical fragment output
+        (device fragments pass through the same atomize+dedup canonical
+        form map_source ends with)."""
+        if device_path is not None:
+            from hal_tpu.ops import segmap_jax as sj
+
+            s_lo, s_hi, t_lo, t_hi, rev, _own = sj.map_batch(device_path, lo, hi)
+            return sm.atomize(sm.Fragments(
+                np.asarray(s_lo, np.int64), np.asarray(s_hi, np.int64),
+                np.asarray(t_lo, np.int64), np.asarray(t_hi, np.int64),
+                np.asarray(rev, np.uint8)).dedup())
+        return sm.map_source(aln, o.srcGenome, lo, hi, o.tgtGenome,
+                             do_dupes=not o.noDupes)
 
     in_stream = sys.stdin if o.srcWig in ("stdin", "-") else open(o.srcWig)
     out = sys.stdout if o.tgtWig in ("stdout", "-") else open(
@@ -59,8 +91,7 @@ def run(argv=None):
         ends = np.append(starts[1:], len(gpos))
         lo = gpos[starts]
         hi = gpos[ends - 1] + 1
-        frags = sm.map_source(aln, o.srcGenome, lo, hi, o.tgtGenome,
-                              do_dupes=not o.noDupes)
+        frags = map_intervals(lo, hi)
         # value lookup per source position
         order = np.argsort(gpos, kind="stable")
         sp = gpos[order]

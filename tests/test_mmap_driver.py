@@ -38,11 +38,13 @@ def test_detect_and_open(mmap_hal):
     assert int(g1.seq_start[-1]) == g1.length
 
 
-def test_read_only(mmap_hal):
+def test_open_for_update(mmap_hal):
+    """mmap files open for update since the write path landed (edits are
+    materialized via save(), not in-place page writes)."""
     from hal_tpu import open_alignment
 
-    with pytest.raises(ValueError):
-        open_alignment(mmap_hal, mode="r+")
+    aln = open_alignment(mmap_hal, mode="r+")
+    assert aln.num_genomes > 0
 
 
 def test_validates_and_decodes_dna(mmap_hal):
@@ -94,3 +96,60 @@ def test_halextract_converts_mmap_to_halz(mmap_hal, tmp_path):
         np.testing.assert_array_equal(
             unpack_dna(np.asarray(ga.dna), 0, ga.length),
             unpack_dna(np.asarray(gb.dna), 0, gb.length))
+
+
+def test_mmap_write_roundtrip(tmp_path):
+    """mmap write path (VERDICT missing #8): save -> load preserves every
+    array, names, metadata, newick; halExtract --outputFormat mmap works."""
+    import numpy as np
+
+    from hal_tpu.randgen import create_random_alignment
+    from hal_tpu.storage import mmap_driver, open_alignment
+    from hal_tpu.ops.validate import validate_alignment
+
+    aln = create_random_alignment(seed=3, max_genomes=6, min_segments=4,
+                                  max_segments=20, min_segment_length=3,
+                                  max_segment_length=10)
+    aln.open_genome(aln.root_name).metadata["source"] = "roundtrip"
+    p = tmp_path / "rt.mmap.hal"
+    mmap_driver.save(aln, str(p))
+    aln2 = open_alignment(str(p))
+    validate_alignment(aln2)
+    assert aln2.get_newick_tree() == aln.get_newick_tree()
+    for n in aln.genome_names():
+        a, b = aln.open_genome(n), aln2.open_genome(n)
+        for f in ("seq_start", "seq_top", "seq_bot", "top_start", "top_parent",
+                  "top_parent_reversed", "top_bottom_parse", "top_paralogy",
+                  "bot_start", "bot_top_parse", "bot_child", "bot_child_reversed"):
+            assert np.array_equal(getattr(a, f), getattr(b, f)), (n, f)
+        assert np.array_equal(np.asarray(a.dna), np.asarray(b.dna))
+        assert a.seq_names == b.seq_names
+        assert a.metadata == b.metadata
+
+
+def test_halExtract_mmap_roundtrip(tmp_path):
+    import subprocess
+    import sys
+
+    from hal_tpu.randgen import create_random_alignment
+    from hal_tpu.storage import hdf5_driver, open_alignment
+
+    aln = create_random_alignment(seed=4, max_genomes=4, min_segments=3,
+                                  max_segments=12, min_segment_length=2,
+                                  max_segment_length=8)
+    src = tmp_path / "a.hal"
+    hdf5_driver.save(aln, str(src))
+    mm = tmp_path / "a.mmap.hal"
+    back = tmp_path / "b.hal"
+    for args in (["--outputFormat", "mmap", str(src), str(mm)],
+                 ["--outputFormat", "hdf5", str(mm), str(back)]):
+        r = subprocess.run([sys.executable, "-m", "hal_tpu.tools.halExtract"] + args,
+                           capture_output=True)
+        assert r.returncode == 0, r.stderr.decode()
+    a2 = open_alignment(str(back))
+    assert a2.get_newick_tree() == aln.get_newick_tree()
+    g1 = aln.open_genome(aln.root_name)
+    g2 = a2.open_genome(aln.root_name)
+    import numpy as np
+
+    assert np.array_equal(g1.bot_start, g2.bot_start)

@@ -82,3 +82,86 @@ def test_overflow_retry():
     got = _pairs_with_owner(s_lo, s_hi, t_lo, t_hi, rev, own)
     want = {(0, a, b, c) for (a, b, c) in fragments_to_base_pairs(frags)}
     assert got == want
+
+
+def test_paged_lookup_matches_host(monkeypatch):
+    """Force the paged segment lookup (mammal-scale path) on small grids and
+    check device==host; also sanity-check the page-table builder and the
+    host sizing totals feed tight caps without overflow."""
+    monkeypatch.setattr(sj, "_PALLAS_GRID_LIMIT", 4)
+    aln = create_random_alignment(seed=5, max_genomes=5, min_segments=8,
+                                  max_segments=40, min_segment_length=3,
+                                  max_segment_length=9)
+    leaves = [n for n in aln.genome_names() if aln.tree.is_leaf(n)]
+    src, tgt = leaves[0], leaves[-1]
+    g = aln.open_genome(src)
+    rng = np.random.default_rng(5)
+    lo = rng.integers(0, g.length - 2, 16)
+    hi = np.minimum(lo + rng.integers(1, 40, 16), g.length)
+    path = sj.PathData.build(aln, src, tgt)
+    assert any(lv.page_tab is not None for lv in path.levels)
+    totals = sj.host_level_totals(aln, src, tgt, lo, hi)
+    caps = sj.tight_caps(path, totals)
+    import jax.numpy as jnp
+
+    dtype = path.levels[0].grid.dtype
+    F, bound, ovf, _ = sj._map_batch_jit(
+        path, jnp.asarray(lo, dtype), jnp.asarray(hi, dtype),
+        jnp.arange(len(lo), dtype=dtype), caps)
+    assert not bool(np.asarray(ovf.reshape(1))[0]), "host sizing undersized"
+    Fc, total = sj._compact_jit(F)
+    k = int(np.asarray(total.reshape(1))[0])
+    M = np.asarray(Fc[:, :k])
+    got = _pairs_with_owner(M[0], M[1], M[2], M[3], M[4], M[5])
+    want = set()
+    for i, (l, h) in enumerate(zip(lo, hi)):
+        frags = sm.map_source(aln, src, np.array([l]), np.array([h]), tgt)
+        for (sp, tp, rv) in fragments_to_base_pairs(frags):
+            want.add((i, sp, tp, rv))
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_option_combos_exhaustive_pairs(seed):
+    """Device==host over every ordered genome pair x option combos
+    (do_dupes / min_length / coalescence_limit) — VERDICT next #4."""
+    aln = create_random_alignment(seed=seed, max_genomes=5, min_genomes=4,
+                                  min_segments=3, max_segments=18,
+                                  min_segment_length=2, max_segment_length=9)
+    names = aln.genome_names()
+    rng = np.random.default_rng(seed)
+    root = aln.root_name
+    checked = 0
+    for src in names:
+        g = aln.open_genome(src)
+        if g.length < 4:
+            continue
+        lo = rng.integers(0, g.length - 2, 6)
+        hi = np.minimum(lo + rng.integers(1, 25, 6), g.length)
+        for tgt in names:
+            if tgt == src:
+                continue
+            mrca = aln.tree.lca(src, tgt)
+            combos = [dict(do_dupes=True), dict(do_dupes=False),
+                      dict(do_dupes=True, min_length=3)]
+            if mrca != root:
+                combos.append(dict(do_dupes=True, coalescence_limit=root))
+            for opts in combos:
+                path = sj.PathData.build(aln, src, tgt,
+                                         do_dupes=opts.get("do_dupes", True),
+                                         coalescence_limit=opts.get("coalescence_limit"),
+                                         min_length=opts.get("min_length", 0))
+                s_lo, s_hi, t_lo, t_hi, rev, own = sj.map_batch(path, lo, hi)
+                got = _pairs_with_owner(s_lo, s_hi, t_lo, t_hi, rev, own)
+                want = set()
+                for i, (l, h) in enumerate(zip(lo, hi)):
+                    frags = sm.map_source(
+                        aln, src, np.array([l]), np.array([h]), tgt,
+                        do_dupes=opts.get("do_dupes", True),
+                        min_length=opts.get("min_length", 0),
+                        coalescence_limit=opts.get("coalescence_limit"))
+                    for (sp, tp, rv) in fragments_to_base_pairs(frags):
+                        want.add((i, sp, tp, rv))
+                assert got == want, (src, tgt, opts)
+                checked += 1
+    assert checked >= 12
