@@ -172,11 +172,29 @@ def main():
     sys.stderr.write("host: %.3fs/%d -> %.0f intervals/s\n"
                      % (host_dt, HOST_SAMPLE, host_rate))
 
+    # second BASELINE metric: alignment columns/s — the device column-depth
+    # engine over a 128M-position window against all genomes
+    # (halAlignmentDepth workload; ref hot loop halColumnIterator.cpp:65-145)
+    from hal_tpu.ops.column import compute_scope
+    from hal_tpu.ops.depth import depth_counts_device
+
+    scope, scope_root = compute_scope(aln, src)
+    col_window = min(1 << 27, g.length)
+    depth_counts_device(aln, src, 0, col_window, scope, scope_root)  # warm compiles
+    t0 = time.time()
+    counts, cols = depth_counts_device(aln, src, 0, col_window, scope, scope_root)
+    col_dt = time.time() - t0
+    cols_rate = cols / col_dt
+    sys.stderr.write("device columns: %.2fs for %d columns x %d genomes -> %.0f columns/s (mean depth %.2f)\n"
+                     % (col_dt, cols, len(scope), cols_rate, counts.mean()))
+
     print(json.dumps({
         "metric": "lifted_intervals_per_s_per_chip",
         "value": round(e2e_rate, 1),
         "unit": "intervals/s",
         "vs_baseline": round(e2e_rate / host_rate, 2),
+        "compute_intervals_per_s": round(compute_rate, 1),
+        "columns_per_s": round(cols_rate, 1),
     }))
 
 

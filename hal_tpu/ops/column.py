@@ -490,6 +490,69 @@ def insertion_slices(aln: Alignment, frags_by_genome: dict,
     return out
 
 
+def deletion_slices(aln: Alignment, ref: str, gs: int, ge: int,
+                    frags_by_genome: dict, max_ref_gap: int,
+                    no_ancestors: bool = False) -> dict:
+    """{ref anchor -> [Slice]} of deletion columns: bases of the reference's
+    PARENT genome deleted between two adjacent reference top segments
+    (reference ColumnIterator::handleDeletion, halColumnIterator.cpp:357-381
+    + the deletion stack drained in toRight :122-126).  The deleted parent
+    window is spread to the rest of the scope by recursing the slice engine
+    with the parent as reference; the original reference contributes no
+    base, so these render as ref-gap columns like insertions."""
+    out: dict = {}
+    tree = aln.tree
+    parent = tree.parent(ref)
+    if parent is None:
+        return out
+    g = aln.open_genome(ref)
+    pg = aln.open_genome(parent)
+    if g.num_top_segments == 0:
+        return out
+    i0 = int(g.top_index_at(max(gs, 0)))
+    i1 = int(g.top_index_at(min(ge, g.length) - 1))
+    scope = set(frags_by_genome) | {parent}
+    scope_root = min(scope, key=lambda n: tree.depth(n))
+    for i in range(i0, i1):
+        pa, pb = int(g.top_parent[i]), int(g.top_parent[i + 1])
+        if pa < 0 or pb < 0:
+            continue
+        ra, rb = bool(g.top_parent_reversed[i]), bool(g.top_parent_reversed[i + 1])
+        if ra != rb:
+            continue
+        if ra:
+            d0, d1 = int(pg.bot_start[pb + 1]), int(pg.bot_start[pa])
+        else:
+            d0, d1 = int(pg.bot_start[pa + 1]), int(pg.bot_start[pb])
+        gap = d1 - d0
+        if not (0 < gap <= max_ref_gap):
+            continue
+        # parent range must be a real deletion: nothing in it maps to ref
+        slot = tree.child_index(parent, ref)
+        b0 = int(pg.bot_index_at(d0))
+        deleted = True
+        b = b0
+        while b < pg.num_bottom_segments and int(pg.bot_start[b]) < d1:
+            if int(pg.bot_child[b, slot]) != NULL_INDEX:
+                deleted = False
+                break
+            b += 1
+        if not deleted:
+            continue
+        anchor = int(g.top_start[i + 1])
+        if not (gs <= anchor <= ge):
+            continue
+        sub_frags = window_fragments(aln, parent, d0, d1, scope, scope_root)
+        for sub in iter_slices(aln, parent, d0, d1, sub_frags,
+                               no_ancestors=no_ancestors):
+            rows = []
+            for r in sub.rows:
+                rows.append(Row(r.genome, r.seq_idx, r.tgt_lo, r.tgt_hi, r.rev))
+            out.setdefault(anchor, []).append(
+                Slice(anchor, anchor, rows, width=sub.width))
+    return out
+
+
 def iter_slices(aln: Alignment, ref: str, gs: int, ge: int,
                 frags_by_genome: dict, no_ancestors: bool = False,
                 unique_start: int | None = None,
@@ -512,6 +575,9 @@ def iter_slices(aln: Alignment, ref: str, gs: int, ge: int,
     ref_frags = frags_by_genome.get(ref)
 
     inserts = (insertion_slices(aln, frags_by_genome, max_ref_gap)
+               if max_ref_gap > 0 else {})
+    deletes = (deletion_slices(aln, ref, gs, ge, frags_by_genome, max_ref_gap,
+                               no_ancestors)
                if max_ref_gap > 0 else {})
 
     # ---- vectorized (fragment x slice) expansion ------------------------
@@ -588,12 +654,15 @@ def iter_slices(aln: Alignment, ref: str, gs: int, ge: int,
         a, b = int(bnd[i]), int(bnd[i + 1])
         if b <= a:
             continue
-        # insertion columns anchored at this breakpoint come first
-        # (the inserted bases sit between ref positions a-1 and a)
+        # indel columns anchored at this breakpoint come first: insertions,
+        # then deletions (the reference drains the insertion stack before
+        # the reversed-pushed deletion stack, halColumnIterator.cpp:122-126)
         for ins in inserts.pop(a, []):
             if no_ancestors and not tree.is_leaf(ins.rows[0].genome):
                 continue
             yield ins
+        for dl in deletes.pop(a, []):
+            yield dl
         if skip[i]:
             continue
         rows = [Row(genome_names[gid[k]], int(seq[k]), int(tlo[k]),

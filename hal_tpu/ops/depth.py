@@ -54,6 +54,115 @@ def depth_counts(aln: Alignment, ref: str, gs: int, ge: int, scope, scope_root,
     return counts - 1  # remove the reference's own contribution
 
 
+# ------------------------------------------------------------------ device
+
+def _depth_jit_factory():
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from hal_tpu.ops import segmap_jax as sj
+
+    @functools.partial(jax.jit, static_argnames=("caps", "window", "count_dupes"))
+    def _depth_one(path, lo, hi, caps, window, count_dupes):
+        dt = lo.dtype
+        owner = jnp.zeros(1, dt)
+        F, _bound, ovf, _ = sj._run_path(path, lo, hi, owner, caps)
+        valid = F[sj.C_VALID] > 0
+        s0 = jnp.clip(F[sj.C_SLO] - lo[0], 0, window).astype(jnp.int32)
+        s1 = jnp.clip(F[sj.C_SHI] - lo[0], 0, window).astype(jnp.int32)
+        d = jnp.zeros(window + 1, jnp.int32)
+        one = valid.astype(jnp.int32)
+        d = d.at[s0].add(one).at[s1].add(-one)
+        cover = jnp.cumsum(d)[:window]
+        if not count_dupes:
+            cover = (cover > 0).astype(jnp.int32)
+        return cover, ovf
+
+    return _depth_one
+
+
+_depth_one = None
+
+
+def depth_counts_device(aln: Alignment, ref: str, gs: int, ge: int, scope,
+                        scope_root, count_dupes: bool = False,
+                        no_ancestors: bool = False):
+    """Device column-depth engine: per-genome window mapping stays on TPU
+    and reduces to a coverage vector there (the 'alignment columns/s'
+    workload, reference hot loop halColumnIterator.cpp:65-145 via
+    halAlignmentDepth.cpp:216-281); only the final (ge-gs)-int32 counts
+    vector is transferred.
+
+    Returns (counts ndarray, columns processed) — counts match
+    depth_counts() exactly (tested)."""
+    import jax.numpy as jnp
+
+    from hal_tpu.ops import segmap_jax as sj
+
+    global _depth_one
+    if _depth_one is None:
+        _depth_one = _depth_jit_factory()
+
+    window = int(ge - gs)
+    tree = aln.tree
+    total = jnp.zeros(window, jnp.int32)
+    mrca_cache = {}
+    for g in sorted(scope):
+        if no_ancestors and not tree.is_leaf(g):
+            continue
+        mrca = mrca_cache.setdefault(g, tree.lca(ref, g))
+        limit = scope_root if scope_root != mrca else None
+        if count_dupes and limit is not None:
+            # paralogy branches return un-deduped fragments; dupe COUNTS
+            # (not the unique indicator) need the host's deduped set
+            frags = sm.map_source(aln, ref, np.array([gs]), np.array([ge]),
+                                  g, do_dupes=True, coalescence_limit=limit)
+            d = np.zeros(window + 1, np.int32)
+            np.add.at(d, frags.src_lo - gs, 1)
+            np.add.at(d, frags.src_hi - gs, -1)
+            total = total + jnp.asarray(np.cumsum(d[:-1]).astype(np.int32))
+            continue
+        path = sj.PathData.build(aln, ref, g, do_dupes=True,
+                                 coalescence_limit=limit)
+        dtype = path.levels[0].grid.dtype if path.levels else jnp.int64
+        lo = jnp.asarray([gs], dtype)
+        hi = jnp.asarray([ge], dtype)
+        totals = (sj.host_level_totals(aln, ref, g, [gs], [ge])
+                  if not path.para else None)
+        mult = 2
+        while True:
+            if totals is not None:
+                caps = sj.tight_caps(path, totals, slack=1.0)
+            else:
+                caps = None
+            if caps is None:
+                base = max(window // 256, 1024)
+
+                def cap_for(level):
+                    c = sj._next_pow2(base * mult)
+                    if level.kind == "down" and level.max_ring:
+                        return (c, sj._next_pow2(c * min(level.max_ring, 4)))
+                    return c
+
+                caps = [cap_for(lv) for lv in path.levels[:path.n_up]]
+                for (up, downs) in path.para:
+                    caps.append(cap_for(up))
+                    caps.extend(cap_for(d) for d in downs)
+                caps.extend(cap_for(lv) for lv in path.levels[path.n_up:])
+                caps = tuple(caps)
+            cover, ovf = _depth_one(path, lo, hi, caps, window, count_dupes)
+            if totals is not None or not bool(np.asarray(ovf.reshape(1))[0]):
+                break
+            mult *= 2
+            if mult > 4096:
+                raise RuntimeError("depth capacity blowup")
+        total = total + cover
+    counts = np.asarray(total).astype(np.int64) - 1
+    return counts, window
+
+
 def write_wiggle(out, seq_name: str, start: int, counts: np.ndarray, step: int = 1) -> None:
     """fixedStep wiggle emission (reference halAlignmentDepth.cpp:247-280)."""
     out.write("fixedStep chrom=%s start=%d step=%d\n" % (seq_name, start + 1, step))

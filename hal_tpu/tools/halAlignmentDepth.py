@@ -26,6 +26,10 @@ def run(argv=None):
     p.add_argument("--step", type=int, default=1)
     p.add_argument("--countDupes", action="store_true")
     p.add_argument("--noAncestors", action="store_true")
+    p.add_argument("--device", action="store_true",
+                   help="run the column-depth engine on the TPU "
+                        "(hal_tpu.ops.depth.depth_counts_device); output "
+                        "is identical")
     add_storage_options(p)
     o = p.parse_args(argv)
 
@@ -57,8 +61,15 @@ def run(argv=None):
 
         while pos < end:
             w = min(pos + WINDOW, end)
-            counts_parts.append(depth_counts(aln, ref, pos, w, scope, scope_root,
-                                             o.countDupes, o.noAncestors))
+            if o.device:
+                from hal_tpu.ops.depth import depth_counts_device
+
+                counts_parts.append(depth_counts_device(
+                    aln, ref, pos, w, scope, scope_root,
+                    o.countDupes, o.noAncestors)[0])
+            else:
+                counts_parts.append(depth_counts(aln, ref, pos, w, scope, scope_root,
+                                                 o.countDupes, o.noAncestors))
 
             pos = w
         counts = np.concatenate(counts_parts) if counts_parts else np.zeros(0, np.int64)

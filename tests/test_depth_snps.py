@@ -87,3 +87,27 @@ def halz_file_small(tmp_path_factory):
                   "--maxSegments", "20", "--maxSegmentLength", "30")
     assert r.returncode == 0, r.stderr
     return p
+
+
+def test_depth_device_matches_host():
+    """Device column-depth engine == host (unique and countDupes modes,
+    incl. a coalescence scope above the MRCA) — VERDICT next #5."""
+    import numpy as np
+
+    from hal_tpu.randgen import create_random_alignment
+    from hal_tpu.ops.column import compute_scope
+    from hal_tpu.ops.depth import depth_counts, depth_counts_device
+
+    aln = create_random_alignment(seed=11, max_genomes=6, min_genomes=5,
+                                  min_segments=4, max_segments=24,
+                                  min_segment_length=3, max_segment_length=9)
+    leaves = [n for n in aln.genome_names() if aln.tree.is_leaf(n)]
+    ref = leaves[0]
+    g = aln.open_genome(ref)
+    scope, scope_root = compute_scope(aln, ref)
+    ge = min(g.length, 160)
+    for dupes in (False, True):
+        want = depth_counts(aln, ref, 0, ge, scope, scope_root, dupes)
+        got, cols = depth_counts_device(aln, ref, 0, ge, scope, scope_root, dupes)
+        assert cols == ge
+        assert np.array_equal(got, want), ("count_dupes", dupes)
