@@ -324,6 +324,20 @@ def get_blocks_in_target_range(handle: Handle, q_species: str, t_species: str,
         return blocks, target_dupes
 
 
+def get_species_info(handle: Handle):
+    """(name, length, numChroms, parentName|None, branchLength) per genome —
+    the halGetSpecies payload (halBlockViz.h:300-310)."""
+    with _lock:
+        aln = handle.alignment()
+        out = []
+        for n in aln.genome_names():
+            g = aln.open_genome(n)
+            parent = aln.tree.parent(n)
+            bl = aln.tree.branch_length(n) if parent else 0.0
+            out.append((n, g.length, g.num_sequences, parent, float(bl)))
+        return out
+
+
 def get_max_lod_query_length(handle: Handle) -> int:
     """halGetMaxLODQueryLength."""
     with _lock:
