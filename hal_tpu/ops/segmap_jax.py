@@ -108,8 +108,20 @@ def _searchsorted_right(grid, q, page_tab=None, page_shift=0):
             from hal_tpu.ops import pallas_kernels as pk
 
             gp, n_pad = pk.pad_grid(grid)
-            return pk.searchsorted_right(gp, n_pad, q)
-        return jnp.searchsorted(grid, q, side="right", method="sort")
+            return pk.searchsorted_right(gp, n_pad, q).astype(q.dtype)
+        if (grid.dtype == jnp.uint32 and q.dtype == jnp.uint32
+                and grid.shape[0] <= _PALLAS_GRID_LIMIT
+                and jax.default_backend() != "cpu"):
+            # order-preserving unsigned->signed map (x ^ 2^31) lets the
+            # int32 Pallas compare-count kernel serve uint32 coordinates
+            from hal_tpu.ops import pallas_kernels as pk
+
+            bias = jnp.uint32(1 << 31)
+            gx = jax.lax.bitcast_convert_type(grid ^ bias, jnp.int32)
+            qx = jax.lax.bitcast_convert_type(q ^ bias, jnp.int32)
+            gp, n_pad = pk.pad_grid(gx)
+            return pk.searchsorted_right(gp, n_pad, qx).astype(q.dtype)
+        return jnp.searchsorted(grid, q, side="right", method="sort").astype(q.dtype)
     # paged: page-table hop + unrolled binary search over the page window.
     # returns searchsorted_right(grid, q) for in-range q (0 <= q < end).
     n = grid.shape[0]
@@ -164,7 +176,10 @@ class PathData:
               dtype=None, coalescence_limit: str | None = None,
               min_length: int = 0) -> "PathData":
         """dtype: coordinate dtype for device arrays; defaults to int32 when
-        every genome on the path fits (TPU-friendly), else int64."""
+        every genome on the path fits, uint32 up to 4.29 Gb (covers every
+        vertebrate chromosome-scale assembly; 32-bit ops are native on the
+        TPU where int64 is emulated, ~2.8x slower AND its XLA executables
+        are uncacheable in practice — 300 s cold compiles), else int64."""
         tree = aln.tree
         mrca = tree.lca(src, tgt)
         limit = coalescence_limit or mrca
@@ -183,8 +198,12 @@ class PathData:
             max_seg = max(max(aln.open_genome(n).num_top_segments,
                               aln.open_genome(n).num_bottom_segments)
                           for n in nodes)
-            dtype = jnp.int32 if max(max_len, max_seg) < 2 ** 31 - 2 else jnp.int64
-        np_dtype = np.int32 if dtype == jnp.int32 else np.int64
+            mx = max(max_len, max_seg)
+            dtype = (jnp.int32 if mx < 2 ** 31 - 2 else
+                     jnp.uint32 if mx < 2 ** 32 - 2 else jnp.int64)
+        np_dtype = {jnp.dtype(jnp.int32): np.int32,
+                    jnp.dtype(jnp.uint32): np.uint32}.get(jnp.dtype(dtype),
+                                                          np.int64)
 
         def A(x):
             return jnp.asarray(np.ascontiguousarray(x), dtype)
@@ -367,9 +386,15 @@ def _expand_owner(counts, cap_out):
     O(n + cap) memory-bound, no sort (a bitonic searchsorted(method='sort')
     here is the dominant TPU cost otherwise).  The prefix scans use the
     single-sweep Pallas blocked kernels on TPU (XLA's lax.cummax/cumsum
-    materialize ~log2(cap) full passes)."""
+    materialize ~log2(cap) full passes).
+
+    Index math runs in int32 regardless of the coordinate dtype (counts and
+    capacities are < 2^31 always; int64 scans are both slow and uncacheable
+    on TPU).  Returns (own int32, offsets int32, total int32)."""
     dt = counts.dtype
-    use_pallas = (USE_PALLAS_SCANS and dt == jnp.int32
+    if dt != jnp.int32:
+        counts = counts.astype(jnp.int32)
+    use_pallas = (USE_PALLAS_SCANS
                   and jax.default_backend() not in ("cpu",))
     if use_pallas:
         from hal_tpu.ops import pallas_kernels as pk
@@ -380,8 +405,8 @@ def _expand_owner(counts, cap_out):
     total = offsets[-1] + counts[-1]
     n = counts.shape[0]
     idx = jnp.where(counts > 0, offsets, cap_out)
-    marks = jnp.zeros(cap_out, dt).at[idx].max(
-        jnp.arange(n, dtype=dt), mode="drop")
+    marks = jnp.zeros(cap_out, jnp.int32).at[idx].max(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
     own = pk.cummax_i32(marks) if use_pallas else jax.lax.cummax(marks)
     return own, offsets, total
 
@@ -402,10 +427,13 @@ def _split_hop(level: Level, F, cap_out, min_length: int = 0):
                              level.page_shift) - 1
     i1 = _searchsorted_right(level.grid, t_hi - 1, level.page_tab,
                              level.page_shift) - 1
-    counts = jnp.where(valid, jnp.maximum(i1 - i0 + 1, 0), 0)
+    # unsigned dtypes wrap on i1 < i0 / garbage inputs; the where() masks
+    # every wrapped value before it feeds the expansion
+    counts = jnp.where(valid & (i1 >= i0), i1 - i0 + 1, 0)
     own, offsets, total = _expand_owner(counts, cap_out)
     # gather-once source matrix: [s_lo, s_hi, t_lo, t_hi, rev, owner, offset, i0]
-    G = jnp.concatenate([F[:6], offsets[None, :], i0[None, :]], axis=0)
+    G = jnp.concatenate([F[:6], offsets[None, :].astype(dt),
+                         i0[None, :]], axis=0)
     R = _rows(jnp.take(G, own, axis=1))  # one column gather, then dense rows
     j = jnp.arange(cap_out, dtype=dt)
     k = j - R[6]
@@ -418,7 +446,8 @@ def _split_hop(level: Level, F, cap_out, min_length: int = 0):
     adv = jnp.where(rev > 0, R[C_THI] - p_hi, p_lo - R[C_TLO])
     s_lo = R[C_SLO] + adv
     ln = p_hi - p_lo
-    v = (j < total) & (ln >= max(min_length, 1))
+    in_range = j < total.astype(dt)
+    v = in_range & (p_hi > p_lo) & (ln >= max(min_length, 1))
     # hop across the (pre-joined) link
     lrev = ST[3]
     has = v & (ST[4] > 0)
@@ -445,7 +474,7 @@ def _ring_expand(level: Level, F, ring_counts, ring_offsets, cap_out):
     ln_row = F[C_THI] - F[C_TLO]
     G = jnp.concatenate(
         [F[:2], off_row[None, :], ln_row[None, :], F[4:6],
-         offsets[None, :], ring_offsets[None, :]], axis=0)
+         offsets[None, :].astype(dt), ring_offsets[None, :]], axis=0)
     R = _rows(jnp.take(G, own, axis=1))
     j = jnp.arange(cap_out, dtype=dt)
     k = j - R[6]
@@ -456,7 +485,7 @@ def _ring_expand(level: Level, F, ring_counts, ring_offsets, cap_out):
     ln = R[3]
     flip = MT[2]
     nlo = jnp.where(flip > 0, MT[1] - offm - ln, MT[0] + offm)
-    v = j < total
+    v = j < total.astype(dt)
     F2 = jnp.stack(
         [R[0], R[1], nlo, nlo + ln, R[4] ^ flip, R[5],
          v.astype(dt), jnp.zeros_like(nlo)], axis=0)
@@ -471,14 +500,19 @@ def _final_bound(F):
     return jnp.max(jnp.where(valid, idx + 1, 0))
 
 
-def _run_path(path: PathData, lo, hi, owner, caps):
+def _run_path(path: PathData, lo, hi, owner, caps, level_xform=None):
     """Trace the whole path; returns the packed (8, cap) fragment matrix
     [s_lo, s_hi, t_lo, t_hi, rev, owner, valid, aux], the last-valid bound,
     the overflow flag and per-level valid totals.
 
     caps is consumed in traversal order: one per up level, then per
     paralogy-branch hop (up + each down incl. ring), then per main down
-    level (split cap or (split, ring) tuple)."""
+    level (split cap or (split, ring) tuple).
+
+    level_xform: optional Level -> Level hook applied as each level is
+    consumed — the table-sharded SPMD step uses it to all-gather a level's
+    segment tables over ICI right before the hop (FSDP-style: tables rest
+    sharded 1/D per device; see parallel.sharded.make_table_sharded_step)."""
     n = lo.shape[0]
     dt = lo.dtype
     ml = path.min_length
@@ -497,6 +531,8 @@ def _run_path(path: PathData, lo, hi, owner, caps):
 
     def apply_level(level, F):
         nonlocal overflow
+        if level_xform is not None:
+            level = level_xform(level)
         split_cap, ring_cap = next_cap()
         F, ring_counts, ring_offsets, stot, ov1 = _split_hop(level, F,
                                                              split_cap, ml)
@@ -575,12 +611,60 @@ def _compact_packed_jit(F):
     return out_c, out_m, total
 
 
-def enable_compile_cache(path: str = "~/.cache/hal_tpu_jax") -> None:
+@functools.partial(jax.jit, static_argnames=("out_cols", "len_bits"))
+def _compact_u32_fixed_jit(F, out_cols, len_bits):
+    """Transfer-minimal compaction for 32-bit paths: THREE uint32 rows
+    [s_lo, t_lo, owner<<(len_bits+1) | len<<1 | rev] scatter-compacted into
+    a STATIC (3, out_cols) matrix — 12 bytes/row, one D2H fetch, and the
+    output shape is known on host (host_final_total) so no device slice op
+    has to queue behind pending batches at drain time.
+
+    Requires len < 2^len_bits and owner < 2^(31-len_bits) — the caller
+    checks applicability (fits_u32_fixed); the kernel still flags overflow
+    when a row violates the packing at runtime."""
+    valid = F[C_VALID] > 0
+    pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    total = jnp.where(valid.shape[0] > 0, pos[-1] + 1, 0)
+    idx = jnp.where(valid, pos, out_cols)
+    s_lo = F[C_SLO].astype(jnp.uint32)
+    t_lo = F[C_TLO].astype(jnp.uint32)
+    ln = (F[C_SHI] - F[C_SLO]).astype(jnp.uint32)
+    rev = F[C_REV].astype(jnp.uint32) & 1
+    own = F[C_OWN].astype(jnp.uint32)
+    packed = (own << (len_bits + 1)) | (ln << 1) | rev
+    rows = jnp.stack([s_lo, t_lo, packed], axis=0)
+    out = jnp.zeros((3, out_cols), jnp.uint32).at[:, idx].set(rows, mode="drop")
+    bad = valid & ((ln >= (1 << len_bits)) | (own >= (1 << (31 - len_bits))))
+    ovf = (total > out_cols) | jnp.any(bad)
+    return out, total, ovf
+
+
+def decode_u32_fixed(M: np.ndarray, count: int, len_bits: int):
+    """Host-side decode of _compact_u32_fixed_jit output: returns int64
+    (s_lo, s_hi, t_lo, t_hi, rev, owner) numpy arrays."""
+    M = np.asarray(M)[:, :count].astype(np.int64)
+    s_lo, t_lo, packed = M[0], M[1], M[2]
+    rev = packed & 1
+    ln = (packed >> 1) & ((1 << len_bits) - 1)
+    own = packed >> (len_bits + 1)
+    return s_lo, s_lo + ln, t_lo, t_lo + ln, rev, own
+
+
+def enable_compile_cache(path: str | None = None) -> None:
     """Persistent XLA compilation cache: first compile of each (program,
     caps) pair is written to disk; subsequent processes load it in ms.
-    Call before the first jit dispatch."""
+    Call before the first jit dispatch.
+
+    Defaults to <repo>/.jax_cache (gitignored) — a home-dir cache did not
+    survive into the driver environment in round 2; the repo dir does.
+    NOTE int64 executables do not round-trip through the cache on the axon
+    TPU backend (recompiled every process, ~300 s); 32-bit programs do —
+    one more reason PathData defaults to int32/uint32 coordinates."""
     import os
 
+    if path is None:
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
     d = os.path.expanduser(path)
     try:
         os.makedirs(d, exist_ok=True)
@@ -609,14 +693,17 @@ def _bucket_cap(x: int) -> int:
 
 
 def host_level_totals(aln: Alignment, src: str, tgt: str, lo, hi,
-                      do_dupes: bool = True):
+                      do_dupes: bool = True, with_final: bool = False):
     """Exact per-level expansion totals, computed on host with numpy in one
     vectorized pass per level (mirrors _run_path's split/ring algebra).
 
     Replaces the device 'sizing pass' — a separate generous-caps compile
     that dominated round-1 bench time — so the device program compiles
     ONCE with tight power-of-two caps.  Returns [(split_total, ring_total)]
-    per level."""
+    per level; with_final=True returns (totals, final_valid_rows) where
+    final_valid_rows is the exact post-filter fragment count the device
+    compaction will produce (sizes _compact_u32_fixed_jit's static
+    output)."""
     tree = aln.tree
     t_lo = np.asarray(lo, np.int64)
     t_hi = np.asarray(hi, np.int64)
@@ -682,6 +769,8 @@ def host_level_totals(aln: Alignment, src: str, tgt: str, lo, hi,
         totals.append((split_total, ring_total))
         t_lo, t_hi = t_lo2, t_hi2
         cur = nxt
+    if with_final:
+        return totals, len(t_lo)
     return totals
 
 
@@ -732,9 +821,11 @@ def map_batch(path: PathData, lo, hi, owner=None, cap_mult: int = 4):
                                                           tuple(caps))
         if not bool(np.asarray(overflow.reshape(1))[0]):
             # transfer only up to the last valid slot (device->host may
-            # cross a network tunnel; the padded capacity stays on device)
+            # cross a network tunnel; the padded capacity stays on device);
+            # results convert to int64 so unsigned device dtypes never leak
+            # wraparound arithmetic into host callers
             k = int(np.asarray(bound.reshape(1))[0])
-            M = np.asarray(F[:, :k])
+            M = np.asarray(F[:, :k]).astype(np.int64)
             mask = M[C_VALID].astype(bool)
             M = M[:, mask]
             return (M[C_SLO], M[C_SHI], M[C_TLO], M[C_THI],

@@ -165,3 +165,53 @@ def test_option_combos_exhaustive_pairs(seed):
                 assert got == want, (src, tgt, opts)
                 checked += 1
     assert checked >= 12
+
+
+def test_uint32_path_big_genome():
+    """Genomes past 2^31 bases select the uint32 device dtype (native
+    32-bit TPU ops; int64 is emulated AND uncacheable) — results must
+    equal the host oracle, and the packed u32 transfer must be lossless."""
+    import jax.numpy as jnp
+
+    aln = create_random_alignment(seed=4, max_genomes=5, min_genomes=4,
+                                  min_segments=6, max_segments=14,
+                                  min_segment_length=1 << 28,
+                                  max_segment_length=(1 << 28) + 64,
+                                  store_dna=False)
+    names = aln.genome_names()
+    leaves = [n for n in names if aln.tree.is_leaf(n)]
+    src, tgt = leaves[0], (leaves[-1] if leaves[-1] != leaves[0] else names[0])
+    g = aln.open_genome(src)
+    assert g.length > 2 ** 31
+    rng = np.random.default_rng(0)
+    lo = rng.integers(0, g.length - 300, 32)
+    hi = lo + rng.integers(1, 200, 32)
+    path = sj.PathData.build(aln, src, tgt)
+    assert path.levels[0].grid.dtype == jnp.uint32
+    s_lo, s_hi, t_lo, t_hi, rev, own = sj.map_batch(path, lo, hi)
+    got = _pairs_with_owner(s_lo, s_hi, t_lo, t_hi, rev, own)
+    want = set()
+    for i, (l, h) in enumerate(zip(lo, hi)):
+        frags = sm.map_source(aln, src, np.array([l]), np.array([h]), tgt)
+        for (sp, tp, rv) in fragments_to_base_pairs(frags):
+            want.add((i, sp, tp, rv))
+    assert got == want
+
+    # packed u32 fixed-size compaction round-trips the same rows
+    totals, final_rows = sj.host_level_totals(aln, src, tgt, lo, hi,
+                                              with_final=True)
+    caps = sj.tight_caps(path, totals)
+    dt = path.levels[0].grid.dtype
+    F, bound, ovf, _ = sj._map_batch_jit(
+        path, jnp.asarray(lo, dt), jnp.asarray(hi, dt),
+        jnp.arange(len(lo), dtype=dt), caps)
+    assert not bool(np.asarray(ovf.reshape(1))[0])
+    out_cols = sj._bucket_cap(final_rows)
+    out, total, covf = sj._compact_u32_fixed_jit(F, out_cols, 8)
+    assert not bool(np.asarray(covf.reshape(1))[0])
+    k = int(np.asarray(total.reshape(1))[0])
+    assert k == final_rows
+    ds_lo, ds_hi, dt_lo, dt_hi, drev, down = sj.decode_u32_fixed(
+        np.asarray(out), k, 8)
+    got2 = _pairs_with_owner(ds_lo, ds_hi, dt_lo, dt_hi, drev, down)
+    assert got2 == want
