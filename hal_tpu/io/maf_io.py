@@ -131,6 +131,8 @@ class MafBlockBuilder:
     def _sorted_rows(sl: Slice) -> list[Row]:
         """SequenceLess order; stable, so duplicate rows keep their column
         insertion (DFS) order — this is the multimap iteration order."""
+        if sl.sorted_rows:
+            return sl.rows
         return sorted(sl.rows, key=lambda r: (r.genome, r.seq_idx))
 
     # ---------------------------------------------------------- printTree
@@ -187,12 +189,12 @@ class MafBlockBuilder:
         self._row_entries = []
         keys = [e.key for e in self.entries]
         used: dict[tuple, int] = {}
+        from bisect import bisect_left
+
         for row in rows:
             key = (row.genome, row.seq_idx)
             d = used.get(key, 0)
             used[key] = d + 1
-            from bisect import bisect_left
-
             base = bisect_left(keys, key)
             idx = base + d
             if idx >= len(keys) or keys[idx] != key:
@@ -373,8 +375,10 @@ class MafBlockBuilder:
             else:
                 left_rows.append(Row(r.genome, r.seq_idx, r.tgt_lo, r.tgt_lo + k, False, r.is_ref))
                 right_rows.append(Row(r.genome, r.seq_idx, r.tgt_lo + k, r.tgt_hi, False, r.is_ref))
-        return (Slice(sl.lo, mid, left_rows, width=k),
-                Slice(mid, sl.hi, right_rows, width=sl.width - k))
+        return (Slice(sl.lo, mid, left_rows, width=k,
+                      sorted_rows=sl.sorted_rows),
+                Slice(mid, sl.hi, right_rows, width=sl.width - k,
+                      sorted_rows=sl.sorted_rows))
 
     def feed(self, slices):
         """Consume slices, yielding finished MAF block strings."""

@@ -33,7 +33,7 @@ from hal_tpu.constants import NULL_INDEX
 from hal_tpu.ops import segmap_host as sm
 
 
-@dataclass
+@dataclass(slots=True)
 class Row:
     """One aligned run within a slice (a future MAF 's' entry chunk)."""
 
@@ -45,19 +45,28 @@ class Row:
     is_ref: bool = False
 
 
-@dataclass
+def _row_key(r: Row):
+    """SequenceLess (halColumnIterator.h:45-50); python sorts are stable so
+    duplicate rows keep DFS insertion order."""
+    return (r.genome, r.seq_idx)
+
+
+@dataclass(slots=True)
 class Slice:
     """Atomic reference slice [lo, hi) with its aligned rows.
 
     width: number of alignment columns.  Normally hi - lo; insertion
     slices (maxRefGap > 0) have lo == hi and width == inserted bases —
     the reference row shows '-' there (reference handleInsertion,
-    halColumnIterator.cpp:382-440)."""
+    halColumnIterator.cpp:382-440).
+    sorted_rows: rows are already in SequenceLess order (builders skip the
+    per-slice re-sort)."""
 
     lo: int
     hi: int
     rows: list = field(default_factory=list)
     width: int = -1
+    sorted_rows: bool = False
 
     def __post_init__(self):
         if self.width < 0:
@@ -214,6 +223,46 @@ def build_gene_tree(aln: Alignment, ref: str, pos: int) -> TreeNode:
 # per-column to per-run: within a run no visited segment boundary is
 # crossed, so the DFS shape — and therefore row order — is constant.
 
+class _GT:
+    """Per-genome tables as plain Python lists: the DFS reads scalar fields
+    tens of times per run; list indexing (~40 ns) beats numpy scalar access
+    (~250 ns per int(arr[i])) ~6x, which is the difference between the
+    exact column path streaming at mammal density or not.  Memory is
+    ~300 B/segment transient per genome — bounded by the scope, freed with
+    the DFS object."""
+
+    __slots__ = ("top_start", "top_parent", "top_rev", "top_para",
+                 "bot_start", "bot_child", "bot_crev", "bot_tparse",
+                 "top_bparse", "seq_start", "n_top", "n_bot", "single_seq",
+                 "children", "parent", "gen")
+
+    def __init__(self, aln, tree, name):
+        gen = aln.open_genome(name)
+        self.gen = gen
+        nt = gen.num_top_segments
+        nb = gen.num_bottom_segments
+        self.n_top = nt
+        self.n_bot = nb
+        self.top_start = gen.top_start[:nt + 1].tolist()
+        self.top_parent = gen.top_parent[:nt].tolist()
+        self.top_rev = gen.top_parent_reversed[:nt].tolist()
+        self.top_para = (gen.top_paralogy[:nt].tolist()
+                         if gen.top_paralogy.shape[0] else [])
+        self.bot_start = gen.bot_start[:nb + 1].tolist()
+        self.bot_child = [gen.bot_child[:nb, s].tolist()
+                          for s in range(gen.bot_child.shape[1])] if nb else []
+        self.bot_crev = [gen.bot_child_reversed[:nb, s].tolist()
+                         for s in range(gen.bot_child.shape[1])] if nb else []
+        self.bot_tparse = (gen.bot_top_parse[:nb].tolist()
+                           if gen.bot_top_parse.shape[0] else [])
+        self.top_bparse = (gen.top_bottom_parse[:nt].tolist()
+                           if gen.top_bottom_parse.shape[0] else [])
+        self.seq_start = gen.seq_start.tolist()
+        self.single_seq = gen.num_sequences <= 1
+        self.parent = tree.parent(name)
+        self.children = tree.children(name)
+
+
 class ColumnDFS:
     """One reference column's tree spreading, with run-length tracking."""
 
@@ -228,6 +277,7 @@ class ColumnDFS:
         self.no_ancestors = no_ancestors
         self.only_orthologs = only_orthologs
         self._g = {}
+        self._t = {}
         self._leaf = {}
         self._slot = {}
 
@@ -236,6 +286,12 @@ class ColumnDFS:
         if gen is None:
             gen = self._g[name] = self.aln.open_genome(name)
         return gen
+
+    def t(self, name) -> _GT:
+        tab = self._t.get(name)
+        if tab is None:
+            tab = self._t[name] = _GT(self.aln, self.tree, name)
+        return tab
 
     def is_leaf(self, name):
         v = self._leaf.get(name)
@@ -258,38 +314,45 @@ class ColumnDFS:
         number of columns before any visited segment boundary, and
         ref_positions every visited reference-genome base as (pos, rev)
         (the _leftmostRefPos feed, halColumnIterator.cpp:812-815)."""
+        from bisect import bisect_right
+
         self.rows = []
-        self.limit = 1 << 62
         self.ref_pos = []
-        gen = self.g(self.ref)
-        si = int(gen.seq_index_at(pos))
+        t = self.t(self.ref)
+        gen = t.gen
+        si = 0 if t.single_seq else int(gen.seq_index_at(pos))
         seq_has_tops = int(gen.seq_top[si + 1] - gen.seq_top[si]) > 0
         # clamp the run at the reference sequence end (toRight jumps
         # sequences, re-initializing iterators)
-        self.limit = min(self.limit, int(gen.seq_start[si + 1]) - pos)
+        self.limit = t.seq_start[si + 1] - pos
         if seq_has_tops:
-            i = int(gen.top_index_at(pos))
-            self._limit_seg(gen.top_start, i, pos, False)
-            self._insert(self.ref, gen, pos, False)
-            self._update_parent(self.ref, gen, i, pos, False)
+            i = bisect_right(t.top_start, pos) - 1
+            self._limit_fwd(t.top_start, i, pos)
+            self._insert(self.ref, pos, False)
+            self._update_parent(self.ref, t, i, pos, False)
             if not self.only_orthologs:
-                self._next_top_dup(self.ref, gen, i, pos, False)
-            self._parse_down(self.ref, gen, i, pos, False)
+                self._next_top_dup(self.ref, t, i, pos, False)
+            self._parse_down(self.ref, t, i, pos, False)
         else:
-            b = int(gen.bot_index_at(pos))
-            self._limit_seg(gen.bot_start, b, pos, False)
-            self._insert(self.ref, gen, pos, False)
-            for slot, child in enumerate(self.tree.children(self.ref)):
-                self._update_child(self.ref, gen, b, pos, False, slot, child)
+            b = bisect_right(t.bot_start, pos) - 1
+            self._limit_fwd(t.bot_start, b, pos)
+            self._insert(self.ref, pos, False)
+            for slot, child in enumerate(t.children):
+                self._update_child(self.ref, t, b, pos, False, slot, child)
         return self.rows, self.limit, self.ref_pos
 
     # ---- helpers ----------------------------------------------------------
-    def _limit_seg(self, starts, i, pos, rev):
-        rem = (pos - int(starts[i]) + 1) if rev else (int(starts[i + 1]) - pos)
+    def _limit_fwd(self, starts, i, pos):
+        rem = starts[i + 1] - pos
         if rem < self.limit:
             self.limit = rem
 
-    def _insert(self, gname, gen, pos, rev):
+    def _limit_seg(self, starts, i, pos, rev):
+        rem = (pos - starts[i] + 1) if rev else (starts[i + 1] - pos)
+        if rem < self.limit:
+            self.limit = rem
+
+    def _insert(self, gname, pos, rev):
         if gname == self.ref:
             self.ref_pos.append((pos, rev))
         if self.no_ancestors and not self.is_leaf(gname):
@@ -298,13 +361,12 @@ class ColumnDFS:
             return
         self.rows.append((gname, pos, rev))
 
-    def _is_canonical(self, gname, gen, i):
-        pi = int(gen.top_parent[i])
+    def _is_canonical(self, gname, t, i):
+        pi = t.top_parent[i]
         if pi < 0:
             return False
-        parent = self.tree.parent(gname)
-        slot = self._slot_of(parent, gname)
-        return int(self.g(parent).bot_child[pi, slot]) == i
+        slot = self._slot_of(t.parent, gname)
+        return self.t(t.parent).bot_child[slot][pi] == i
 
     def _slot_of(self, parent, child):
         key = (parent, child)
@@ -314,81 +376,86 @@ class ColumnDFS:
         return s
 
     # ---- recursion (halColumnIterator.cpp:557-745) -------------------------
-    def _update_parent(self, gname, gen, i, pos, rev):
-        if int(gen.top_parent[i]) < 0 or not self._parent_in_scope(gname):
+    def _update_parent(self, gname, t, i, pos, rev):
+        pi = t.top_parent[i]
+        if pi < 0 or not self._parent_in_scope(gname):
             return
-        if self.no_dupes and not self._is_canonical(gname, gen, i):
+        if self.no_dupes and not self._is_canonical(gname, t, i):
             return
-        parent = self.tree.parent(gname)
-        pg = self.g(parent)
-        pi = int(gen.top_parent[i])
-        prev = bool(gen.top_parent_reversed[i])
-        off = pos - int(gen.top_start[i])
-        seg_len = int(gen.top_start[i + 1] - gen.top_start[i])
-        ppos = int(pg.bot_start[pi]) + ((seg_len - 1 - off) if prev else off)
+        parent = t.parent
+        pt = self.t(parent)
+        prev = t.top_rev[i] != 0
+        off = pos - t.top_start[i]
+        seg_len = t.top_start[i + 1] - t.top_start[i]
+        ppos = pt.bot_start[pi] + ((seg_len - 1 - off) if prev else off)
         nrev = rev ^ prev
-        self._limit_seg(pg.bot_start, pi, ppos, nrev)
-        self._insert(parent, pg, ppos, nrev)
-        self._parse_up(parent, pg, pi, ppos, nrev)
+        self._limit_seg(pt.bot_start, pi, ppos, nrev)
+        self._insert(parent, ppos, nrev)
+        self._parse_up(parent, pt, pi, ppos, nrev)
         my_slot = self._slot_of(parent, gname)
-        for slot, child in enumerate(self.tree.children(parent)):
+        for slot, child in enumerate(pt.children):
             if slot != my_slot:
-                self._update_child(parent, pg, pi, ppos, nrev, slot, child)
+                self._update_child(parent, pt, pi, ppos, nrev, slot, child)
 
-    def _update_child(self, gname, gen, b, pos, rev, slot, child):
-        j = int(gen.bot_child[b, slot])
+    def _update_child(self, gname, t, b, pos, rev, slot, child):
+        j = t.bot_child[slot][b]
         if j < 0 or not self._child_in_scope(gname, child):
             return
-        cg = self.g(child)
-        crev = bool(gen.bot_child_reversed[b, slot])
-        off = pos - int(gen.bot_start[b])
-        seg_len = int(gen.bot_start[b + 1] - gen.bot_start[b])
-        cpos = int(cg.top_start[j]) + ((seg_len - 1 - off) if crev else off)
+        ct = self.t(child)
+        crev = t.bot_crev[slot][b] != 0
+        off = pos - t.bot_start[b]
+        seg_len = t.bot_start[b + 1] - t.bot_start[b]
+        cpos = ct.top_start[j] + ((seg_len - 1 - off) if crev else off)
         nrev = rev ^ crev
-        self._limit_seg(cg.top_start, j, cpos, nrev)
-        self._insert(child, cg, cpos, nrev)
-        self._next_top_dup(child, cg, j, cpos, nrev)
-        self._parse_down(child, cg, j, cpos, nrev)
+        self._limit_seg(ct.top_start, j, cpos, nrev)
+        self._insert(child, cpos, nrev)
+        self._next_top_dup(child, ct, j, cpos, nrev)
+        self._parse_down(child, ct, j, cpos, nrev)
 
-    def _next_top_dup(self, gname, gen, i, pos, rev):
-        if (self.no_dupes or gen.top_paralogy.shape[0] == 0
-                or int(gen.top_paralogy[i]) < 0
-                or self.tree.parent(gname) is None
-                or not self._parent_in_scope(gname)):
+    def _next_top_dup(self, gname, t, i, pos, rev):
+        if (self.no_dupes or not t.top_para or t.top_para[i] < 0
+                or t.parent is None or not self._parent_in_scope(gname)):
             return
         first = i
+        para = t.top_para
+        starts = t.top_start
+        trev = t.top_rev
         cur, cpos, crev = i, pos, rev
         while True:
-            m = int(gen.top_paralogy[cur])
-            flip = bool(gen.top_parent_reversed[cur]) != bool(gen.top_parent_reversed[m])
-            off = cpos - int(gen.top_start[cur])
-            seg_len = int(gen.top_start[cur + 1] - gen.top_start[cur])
-            mpos = int(gen.top_start[m]) + ((seg_len - 1 - off) if flip else off)
+            m = para[cur]
+            flip = trev[cur] != trev[m]
+            off = cpos - starts[cur]
+            seg_len = starts[cur + 1] - starts[cur]
+            mpos = starts[m] + ((seg_len - 1 - off) if flip else off)
             mrev = crev ^ flip
-            self._limit_seg(gen.top_start, m, mpos, mrev)
-            self._insert(gname, gen, mpos, mrev)
-            self._parse_down(gname, gen, m, mpos, mrev)
+            self._limit_seg(starts, m, mpos, mrev)
+            self._insert(gname, mpos, mrev)
+            self._parse_down(gname, t, m, mpos, mrev)
             cur, cpos, crev = m, mpos, mrev
-            nxt = int(gen.top_paralogy[cur])
+            nxt = para[cur]
             if nxt < 0 or nxt == first:
                 break
 
-    def _parse_up(self, gname, gen, b, pos, rev):
-        if gen.bot_top_parse.shape[0] == 0 or int(gen.bot_top_parse[b]) < 0:
+    def _parse_up(self, gname, t, b, pos, rev):
+        if not t.bot_tparse or t.bot_tparse[b] < 0:
             return
-        i = int(gen.top_index_at(pos))
-        self._limit_seg(gen.top_start, i, pos, rev)
-        self._update_parent(gname, gen, i, pos, rev)
-        if not self.only_orthologs:
-            self._next_top_dup(gname, gen, i, pos, rev)
+        from bisect import bisect_right
 
-    def _parse_down(self, gname, gen, i, pos, rev):
-        if gen.top_bottom_parse.shape[0] == 0 or int(gen.top_bottom_parse[i]) < 0:
+        i = bisect_right(t.top_start, pos) - 1
+        self._limit_seg(t.top_start, i, pos, rev)
+        self._update_parent(gname, t, i, pos, rev)
+        if not self.only_orthologs:
+            self._next_top_dup(gname, t, i, pos, rev)
+
+    def _parse_down(self, gname, t, i, pos, rev):
+        if not t.top_bparse or t.top_bparse[i] < 0:
             return
-        b = int(gen.bot_index_at(pos))
-        self._limit_seg(gen.bot_start, b, pos, rev)
-        for slot, child in enumerate(self.tree.children(gname)):
-            self._update_child(gname, gen, b, pos, rev, slot, child)
+        from bisect import bisect_right
+
+        b = bisect_right(t.bot_start, pos) - 1
+        self._limit_seg(t.bot_start, b, pos, rev)
+        for slot, child in enumerate(t.children):
+            self._update_child(gname, t, b, pos, rev, slot, child)
 
 
 def iter_slices_exact(aln: Alignment, ref: str, gs: int, ge: int,
@@ -404,9 +471,10 @@ def iter_slices_exact(aln: Alignment, ref: str, gs: int, ge: int,
     the leftmost reference-genome base the traversal touches
     (colMapInsert cache + isCanonicalOnRef, halColumnIterator.cpp:146-245,
     halMafExport.cpp:52-62)."""
+    from bisect import bisect_right
+
     dfs = ColumnDFS(aln, ref, scope=scope, targets=targets, no_dupes=no_dupes,
                     no_ancestors=no_ancestors, only_orthologs=only_orthologs)
-    genomes = dfs._g
     pos = gs
     while pos < ge:
         rows, limit, ref_positions = dfs.run(pos)
@@ -424,8 +492,8 @@ def iter_slices_exact(aln: Alignment, ref: str, gs: int, ge: int,
         if kemit > 0:
             out_rows = []
             for (gname, p, rev) in rows:
-                gen = dfs.g(gname)
-                si = int(gen.seq_index_at(p))
+                t = dfs.t(gname)
+                si = 0 if t.single_seq else bisect_right(t.seq_start, p) - 1
                 if rev:
                     out_rows.append(Row(gname, si, p - kemit + 1, p + 1, True))
                 else:
@@ -433,9 +501,8 @@ def iter_slices_exact(aln: Alignment, ref: str, gs: int, ge: int,
             if out_rows:
                 out_rows[0].is_ref = True
             # stable: keeps DFS order within a sequence
-            order = sorted(range(len(out_rows)),
-                           key=lambda k: (out_rows[k].genome, out_rows[k].seq_idx))
-            yield Slice(pos, pos + kemit, [out_rows[k] for k in order])
+            out_rows.sort(key=_row_key)
+            yield Slice(pos, pos + kemit, out_rows, sorted_rows=True)
         pos += run
 
 

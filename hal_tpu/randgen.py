@@ -135,11 +135,72 @@ def _alloc_genome(aln: Alignment, name: str, d: dict, store_dna: bool = True) ->
     return g
 
 
+def _fill_dna_fast(rng, g, pg, parent_idx, reversed_, d, bl) -> None:
+    """Vectorized DNA fill (chunked fancy-gather from the parent's ASCII
+    bases) — same statistical model as the per-segment loop but a different
+    RNG draw order, so only selectable via create_random_alignment(
+    fast_dna=True).  Makes 100 Mb-per-genome DNA-bearing fixtures feasible
+    for the hal2maf throughput benchmark (the loop is ~15 s per 500k
+    segments; this is ~1 s per 134 Mb)."""
+    from hal_tpu.dna import COMP_MAP
+
+    length = d["length"]
+    ts = d["top_size"]
+    n_top = d["n_top"]
+    pa = dnacodec.unpack_dna(pg.dna, 0, pg.length)
+    p_start = pg.bot_start
+    sub_p = 1.0 - np.exp(-bl)
+    out = np.empty(length, np.uint8)
+    n_full = length // ts  # segments of exactly ts bases
+    offr = np.arange(ts, dtype=np.int64)
+    SEG_CH = max((1 << 23) // max(ts, 1), 1)
+    for s0 in range(0, n_full, SEG_CH):
+        s1 = min(s0 + SEG_CH, n_full)
+        pi = parent_idx[s0:s1]
+        mapped = pi != NULL_INDEX
+        pic = np.where(mapped, pi, 0)
+        rv = reversed_[s0:s1].astype(bool)
+        base = np.where(rv, p_start[pic] + ts - 1, p_start[pic])
+        step = np.where(rv, -1, 1)
+        src = base[:, None] + step[:, None] * offr[None, :]
+        val = pa[src.reshape(-1)].reshape(s1 - s0, ts)
+        ridx = np.flatnonzero(rv)
+        if len(ridx):
+            val[ridx] = COMP_MAP[val[ridx]]
+        uidx = np.flatnonzero(~mapped)
+        if len(uidx):
+            val[uidx] = _DNA[rng.integers(0, 4, (len(uidx), ts))]
+        # substitutions: sampled positions at the expected Bernoulli count
+        # (with replacement — statistically equivalent at fixture scale)
+        nb = (s1 - s0) * ts
+        k = int(rng.binomial(nb, sub_p))
+        if k:
+            flat = val.reshape(-1)
+            flat[rng.integers(0, nb, k)] = _DNA[rng.integers(0, 4, k)]
+        out[s0 * ts:s1 * ts] = val.reshape(-1)
+    if n_full * ts < length:  # ragged tail segment
+        t0 = n_full * ts
+        ln = length - t0
+        pi = parent_idx[n_full] if n_full < n_top else NULL_INDEX
+        if pi == NULL_INDEX:
+            out[t0:] = _DNA[rng.integers(0, 4, ln)]
+        else:
+            ps = int(p_start[pi])
+            seq = pg.get_dna(ps, ln, reversed_=bool(reversed_[n_full]))
+            sub = _expon_mask(rng, bl, ln)
+            if sub.any():
+                seq = seq.copy()
+                seq[sub] = _DNA[rng.integers(0, 4, int(sub.sum()))]
+            out[t0:] = seq
+    g.set_dna(0, out)
+
+
 def create_random_genome(
     rng: np.random.Generator,
     aln: Alignment,
     name: str,
     dims: dict[str, dict],
+    fast_dna: bool = False,
 ) -> None:
     """Fill a genome's links and DNA given its (already filled) parent."""
     d = dims[name]
@@ -208,6 +269,9 @@ def create_random_genome(
 
     # DNA: copy parent segment (revcomp when inverted), substitute, or random
     if d["length"] and g.dna.size:
+        if fast_dna:
+            _fill_dna_fast(rng, g, pg, parent_idx, reversed_, d, bl)
+            return
         out = np.empty(d["length"], np.uint8)
         top_size = d["top_size"]
         for i in range(n_top):
@@ -238,11 +302,14 @@ def create_random_alignment(
     min_segments: int = 1,
     max_segments: int = 10,
     store_dna: bool = True,
+    fast_dna: bool = False,
 ) -> Alignment:
     """End-to-end random alignment (reference createRandomAlignment,
     api/tests/halRandomData.h:17).  store_dna=False skips DNA generation
     (structure-only fixtures for mammal-scale benchmarks; the reference
-    supports DNA-less genomes the same way, halGenome.h:53-57)."""
+    supports DNA-less genomes the same way, halGenome.h:53-57).
+    fast_dna=True fills DNA with the chunked vectorized gather (same model,
+    different RNG draw order) for large benchmark fixtures."""
     rng = np.random.default_rng(seed)
     aln = create_random_tree(rng, mean_degree, max_branch_length, min_genomes, max_genomes)
     dims = create_random_dimensions(rng, aln, min_segment_length, max_segment_length,
@@ -250,7 +317,7 @@ def create_random_alignment(
     for name in aln.tree.preorder():
         aln.set_genome(_alloc_genome(aln, name, dims[name], store_dna=store_dna))
     for name in aln.tree.preorder():
-        create_random_genome(rng, aln, name, dims)
+        create_random_genome(rng, aln, name, dims, fast_dna=fast_dna)
     return aln
 
 
