@@ -1,268 +1,284 @@
-"""halLiftoverStatus — per-BED-entry report of how a region maps to a target
-genome (reference liftover/halLiftoverStatus.py): mapped proportion,
-insertions/deletions, out-of-order (rearrangement) flag and frame
-preservation.
+"""halLiftoverStatus — per-BED-entry report of how a region maps to a
+target genome: mapped bases, insertion/deletion lengths, out-of-order
+(rearrangement) flag and frame preservation.
 
-The reference runs one `halLiftover --outPSL` subprocess per BED line under
-jobTree; here the liftover runs in-process and lines are processed
-sequentially (the status math is identical:
-liftover/halLiftoverStatus.py:196-470)."""
+Output format matches the reference tool (`liftover/halLiftoverStatus.py`:
+header + one TSV row per BED entry); the machinery is re-designed:
+
+* the reference launches one `halLiftover --outPSL` subprocess per BED
+  line under jobTree — here the liftover runs in-process (ops.liftover);
+* PSL hits are normalized once into query-forward/target-forward numpy
+  block arrays instead of repeated strand re-flips;
+* the best mutually-disjoint subset of hits is found with an exact
+  branch-and-bound over the (tiny) block-overlap conflict graph — the
+  reference enumerates every maximal disjoint set (exponential without a
+  bound) and picks the max-coverage one; both select the maximum-coverage
+  conflict-free subset;
+* per-block status is interval algebra over the normalized arrays, with
+  pieces visited in GLOBAL query order.  (The reference visits them
+  PSL-major: when two disjoint hits interleave in query space its
+  adjacent-piece comparison can skip a target gap; in such out-of-order
+  genes this tool may report one more Ins value — the OO flag and
+  everything else agree.)
+"""
 
 from __future__ import annotations
 
 import io
 import sys
+from dataclasses import dataclass, field
+
+import numpy as np
 
 from hal_tpu import open_alignment
 from hal_tpu.tools import add_storage_options, make_parser, tool_main
 
 
-class Psl:
-    def __init__(self, line: str):
-        t = line.rstrip("\n").split("\t")
-        if len(t) != 21:
-            raise ValueError("Psl format requires 21 fields: %r" % line)
-        (self.matches, self.mis, self.rep, self.ncount, self.q_num_insert,
-         self.q_base_insert, self.t_num_insert, self.t_base_insert) = map(int, t[:8])
-        self.strand = t[8]
-        self.q_name = t[9]
-        self.q_size, self.q_start, self.q_end = map(int, t[10:13])
-        self.t_name = t[13]
-        self.t_size, self.t_start, self.t_end = map(int, t[14:17])
-        self.block_count = int(t[17])
-        self.block_sizes = [int(x) for x in t[18].rstrip(",").split(",")]
-        self.q_starts = [int(x) for x in t[19].rstrip(",").split(",")]
-        self.t_starts = [int(x) for x in t[20].rstrip(",").split(",")]
+@dataclass
+class Hit:
+    """One PSL alignment, normalized: block arrays in query-forward and
+    target-forward coordinates, rel = '-' when the strands differ."""
 
-    def sort_key(self):
-        return (self.q_name, self.q_start, self.q_end)
+    qname: str
+    qsize: int
+    tname: str
+    tsize: int
+    rel: str
+    qlo: np.ndarray   # (nblocks,) query-forward block starts, ascending
+    qhi: np.ndarray
+    tlo: np.ndarray   # (nblocks,) target-forward block starts
+    thi: np.ndarray
+    matched: int      # total aligned bases (the Map column's unit)
 
-
-def psl_pos_target(psl: Psl) -> Psl:
-    """Flip so the target is on the + strand (halLiftoverStatus.py:165-184)."""
-    if len(psl.strand) != 2 or psl.strand[1] != "-":
-        return psl
-    rv = {"-": "+", "+": "-"}
-    psl.strand = rv[psl.strand[0]] + rv[psl.strand[1]]
-    sizes, qstarts, tstarts = [], [], []
-    for i in range(psl.block_count - 1, -1, -1):
-        size = psl.block_sizes[i]
-        sizes.append(size)
-        qstarts.append(psl.q_size - (psl.q_starts[i] + size))
-        tstarts.append(psl.t_size - (psl.t_starts[i] + size))
-    psl.block_sizes, psl.q_starts, psl.t_starts = sizes, qstarts, tstarts
-    return psl
+    @property
+    def q_span(self):
+        return int(self.qlo[0]), int(self.qhi[-1])
 
 
-def psl_pos_coords(psl: Psl):
-    """Query-positive coordinates (halLiftoverStatus.py:196-221)."""
-    assert len(psl.strand) < 2 or psl.strand[1] != "-"
-    strand = psl.strand
-    if psl.strand[0] == "-":
-        qstarts, tstarts, sizes = [], [], []
-        for i in range(psl.block_count - 1, -1, -1):
-            qstarts.append(psl.q_size - (psl.q_starts[i] + psl.block_sizes[i]))
-            tstarts.append(psl.t_size - (psl.t_starts[i] + psl.block_sizes[i]))
-            sizes.append(psl.block_sizes[i])
-        strand = "+-"
-    else:
-        qstarts, tstarts, sizes = psl.q_starts, psl.t_starts, psl.block_sizes
-    return qstarts, tstarts, sizes, strand
+def parse_psl(line: str) -> Hit:
+    """21-field PSL -> normalized Hit (PSL spec: qStarts/tStarts live in
+    strand coordinates; flip by size for '-' strands)."""
+    f = line.rstrip("\n").split("\t")
+    if len(f) != 21:
+        raise ValueError("Psl format requires 21 fields: %r" % line)
+    strand = f[8]
+    qstrand = strand[0]
+    tstrand = strand[1] if len(strand) > 1 else "+"
+    qsize, tsize = int(f[10]), int(f[14])
+    sizes = np.array([int(x) for x in f[18].rstrip(",").split(",")], np.int64)
+    qs = np.array([int(x) for x in f[19].rstrip(",").split(",")], np.int64)
+    ts = np.array([int(x) for x in f[20].rstrip(",").split(",")], np.int64)
+    qlo, qhi = qs, qs + sizes
+    if qstrand == "-":
+        qlo, qhi = qsize - qhi, qsize - qlo
+    tlo, thi = ts, ts + sizes
+    if tstrand == "-":
+        tlo, thi = tsize - thi, tsize - tlo
+    order = np.argsort(qlo, kind="stable")
+    return Hit(qname=f[9], qsize=qsize, tname=f[13], tsize=tsize,
+               rel="+" if qstrand == tstrand else "-",
+               qlo=qlo[order], qhi=qhi[order], tlo=tlo[order], thi=thi[order],
+               matched=int(sizes.sum()))
 
 
-def query_overlap(p1: Psl, p2: Psl) -> int:
-    if p1.q_name != p2.q_name or p1.q_end <= p2.q_start or p2.q_end <= p1.q_start:
+def _block_overlap(a: Hit, b: Hit) -> int:
+    """Query bases shared by any block pair (vectorized outer clip)."""
+    if a.qname != b.qname:
         return 0
-    s1, _t1, z1, _ = psl_pos_coords(p1)
-    s2, _t2, z2, _ = psl_pos_coords(p2)
-    overlap = 0
-    for i1, a in enumerate(s1):
-        e1 = a + z1[i1]
-        for i2, b in enumerate(s2):
-            e2 = b + z2[i2]
-            if b < e1 and a < e2:
-                overlap += min(e1, e2) - max(a, b)
-    return overlap
+    lo = np.maximum(a.qlo[:, None], b.qlo[None, :])
+    hi = np.minimum(a.qhi[:, None], b.qhi[None, :])
+    return int(np.maximum(hi - lo, 0).sum())
 
 
-def non_overlap_sets(psls: list[Psl]) -> list[list[int]]:
-    """All maximal sets of PSLs whose query ranges are disjoint
-    (halLiftoverStatus.py:244-287)."""
-    def extend(sets):
-        new_sets = []
-        for indices, i in sets:
-            added = 0
-            for j in range(i + 1, len(psls)):
-                if any(query_overlap(psls[j], psls[k]) > 0 for k in indices):
-                    continue
-                added += 1
-                new_sets.extend(extend([(indices + [j], j)]))
-            if added == 0:
-                new_sets.append((indices, len(psls)))
-        return new_sets
+def best_disjoint(hits: list[Hit]) -> list[Hit]:
+    """Maximum-total-matched subset with pairwise block-disjoint query
+    coverage: exact branch-and-bound on the conflict graph (hits per BED
+    line are few; the optimistic bound prunes hard)."""
+    n = len(hits)
+    if n == 1:
+        return hits
+    conflict = [0] * n
+    for i in range(n):
+        for j in range(i + 1, n):
+            if _block_overlap(hits[i], hits[j]) > 0:
+                conflict[i] |= 1 << j
+                conflict[j] |= 1 << i
+    w = [h.matched for h in hits]
+    order = sorted(range(n), key=lambda i: -w[i])
+    best = (0, [])
 
-    sets: list[list[int]] = []
-    for i in range(len(psls)):
-        for s, _last in extend([([i], i)]):
-            if not any(set(s).issubset(set(s0)) for s0 in sets):
-                sets.append(s)
-    return sets
+    def grow(k, chosen, banned, weight, rest):
+        nonlocal best
+        if weight + rest <= best[0]:
+            return
+        if k == n:
+            if weight > best[0]:
+                best = (weight, chosen)
+            return
+        i = order[k]
+        if not (banned >> i) & 1:
+            grow(k + 1, chosen + [i], banned | conflict[i], weight + w[i],
+                 rest - w[i])
+        grow(k + 1, chosen, banned, weight, rest - w[i])
 
-
-def _tpos(qstarts, tstarts, sizes, qpos):
-    for i, qs in enumerate(qstarts):
-        if qs <= qpos <= qs + sizes[i]:
-            return tstarts[i] + (qpos - qs)
-    return -1
-
-
-class _Reg:
-    def __init__(self, name, start, end, strand, size, qstart, qend):
-        self.name, self.start, self.end = name, start, end
-        self.strand, self.size = strand, size
-        self.qstart, self.qend = qstart, qend
+    grow(0, [], 0, 0, sum(w))
+    idx = sorted(best[1], key=lambda i: (hits[i].qname, hits[i].q_span))
+    return [hits[i] for i in idx]
 
 
-def block_status(indices, psls, start, end, edge):
-    """Status of one BED block (halLiftoverStatus.py:325-407)."""
-    ins, dels = [], []
-    oo = False
-    tregs = []
-    pos = start
-    blocksize = end - start
-    assert blocksize > 0
-    for index in indices:
-        qstarts, tstarts, sizes, strand = psl_pos_coords(psls[index])
-        for i, qstart in enumerate(qstarts):
-            qend = qstart + sizes[i]
-            if qend < pos:
-                continue
-            if end < qstart:
-                break
-            oqs, oqe = max(pos, qstart), min(end, qend)
-            ots = _tpos(qstarts, tstarts, sizes, oqs)
-            ote = _tpos(qstarts, tstarts, sizes, oqe)
-            if len(strand) > 1 and strand[1] == "-":
-                ots, ote = psls[index].t_size - ote, psls[index].t_size - ots
-            assert ote >= ots
-            tregs.append(_Reg(psls[index].t_name, ots, ote,
-                              strand[1] if len(strand) > 1 else "+",
-                              psls[index].t_size, oqs, oqe))
-            if float(oqs - start) / blocksize > edge:
-                if oqs - pos > 0:
-                    dels.append(oqs - pos)
-            pos = oqe
-    if float(end - pos) / blocksize > edge and pos < end:
-        dels.append(end - pos)
+@dataclass
+class Pieces:
+    """The chosen hits clipped to one BED block [qs, qe): parallel arrays
+    in ascending query order."""
 
-    if len(tregs) > 1:
-        for i in range(1, len(tregs)):
-            treg, prev = tregs[i], tregs[i - 1]
-            if (float(treg.qstart - start) / blocksize <= edge or
-                    float(end - treg.qend) / blocksize <= edge):
-                continue
-            if treg.name == prev.name:
-                if treg.strand == prev.strand:
-                    if treg.strand == "+":
-                        if prev.end < treg.start:
-                            ins.append(treg.start - prev.end)
-                        elif prev.end > treg.start:
-                            oo = True
-                    else:
-                        if treg.end < prev.start:
-                            ins.append(prev.start - treg.end)
-                        elif treg.end > prev.start:
-                            oo = True
-                else:
-                    oo = True
+    qlo: np.ndarray
+    qhi: np.ndarray
+    tlo: np.ndarray
+    thi: np.ndarray
+    rel: list
+    tname: list
+    tsize: list
+
+
+def clip_to_block(chosen: list[Hit], qs: int, qe: int) -> Pieces:
+    qlo, qhi, tlo, thi, rel, tname, tsize = [], [], [], [], [], [], []
+    for h in chosen:
+        a = np.maximum(h.qlo, qs)
+        b = np.minimum(h.qhi, qe)
+        keep = np.flatnonzero(b > a)
+        for k in keep:
+            qlo.append(int(a[k]))
+            qhi.append(int(b[k]))
+            if h.rel == "+":
+                tlo.append(int(h.tlo[k] + (a[k] - h.qlo[k])))
+                thi.append(int(h.tlo[k] + (b[k] - h.qlo[k])))
             else:
+                tlo.append(int(h.tlo[k] + (h.qhi[k] - b[k])))
+                thi.append(int(h.tlo[k] + (h.qhi[k] - a[k])))
+            rel.append(h.rel)
+            tname.append(h.tname)
+            tsize.append(h.tsize)
+    order = np.argsort(np.asarray(qlo, np.int64), kind="stable") if qlo else []
+    pick = lambda xs: [xs[i] for i in order]
+    return Pieces(qlo=np.asarray(pick(qlo), np.int64),
+                  qhi=np.asarray(pick(qhi), np.int64),
+                  tlo=np.asarray(pick(tlo), np.int64),
+                  thi=np.asarray(pick(thi), np.int64),
+                  rel=pick(rel), tname=pick(tname), tsize=pick(tsize))
+
+
+def block_events(p: Pieces, qs: int, qe: int, edge: float):
+    """(ins list, dels list, oo flag) for one BED block.
+
+    dels: unmapped query stretches between mapped pieces (and at the block
+    edges when they sit further than `edge` of the block width from the
+    boundary).  ins: extra target bases between query-consecutive pieces
+    on the same target sequence+strand.  oo: any target-order violation."""
+    bs = qe - qs
+    n = len(p.qlo)
+    dels: list[int] = []
+    ins: list[int] = []
+    oo = False
+    if n == 0:
+        if bs > 0 and (1.0 if bs else 0.0) > edge:
+            dels.append(bs)
+        return ins, dels, oo
+    # unmapped gaps (vectorized): before each piece, and after the last
+    prev_end = np.concatenate([[qs], p.qhi[:-1]])
+    gaps = p.qlo - prev_end
+    inner_ok = (p.qlo - qs) / bs > edge
+    for g in gaps[(gaps > 0) & inner_ok]:
+        dels.append(int(g))
+    tail = qe - int(p.qhi[-1])
+    if tail > 0 and tail / bs > edge:
+        dels.append(tail)
+    # target-side adjacency between query-consecutive pieces
+    for i in range(1, n):
+        near_edge = ((p.qlo[i] - qs) / bs <= edge
+                     or (qe - p.qhi[i]) / bs <= edge)
+        if near_edge:
+            continue
+        if p.tname[i] != p.tname[i - 1] or p.rel[i] != p.rel[i - 1]:
+            oo = True
+        elif p.rel[i] == "+":
+            d = int(p.tlo[i] - p.thi[i - 1])
+            if d > 0:
+                ins.append(d)
+            elif d < 0:
                 oo = True
-
-    strands = [r.strand for r in tregs]
-    tstart = min([r.start for r in tregs]) if tregs else -1
-    tend = max([r.end for r in tregs]) if tregs else -1
-    tname = tregs[0].name if tregs else ""
-    return ins, dels, oo, strands, tstart, tend, tname
-
-
-class Status:
-    def __init__(self, name):
-        self.name = name
-        self.length = -1
-        self.map = 0
-        self.ins = []
-        self.dels = []
-        self.oo = False
-        self.inframe = True
+        else:
+            d = int(p.tlo[i - 1] - p.thi[i])
+            if d > 0:
+                ins.append(d)
+            elif d < 0:
+                oo = True
+    return ins, dels, oo
 
 
-def _parse_bed_line(line: str):
-    """(name, start, blockStarts, blockSizes) with the reference's BED12
-    normalization (halLiftoverStatus.py:87-139)."""
-    t = line.split()
-    chrom, start, end = t[0], int(t[1]), int(t[2])
-    name = t[3] if len(t) > 3 else ""
-    if len(t) >= 12:
-        sizes = [int(x) for x in t[10].rstrip(",").split(",")]
-        starts = [int(x) for x in t[11].rstrip(",").split(",")]
+def read_bed12(line: str):
+    """(chrom, name, abs block ranges) with the reference's BED12 thickStart
+    normalization (shift so blockStarts[0] == 0 and end matches)."""
+    f = line.split()
+    chrom, start, end = f[0], int(f[1]), int(f[2])
+    name = f[3] if len(f) > 3 else ""
+    if len(f) >= 12:
+        sizes = [int(x) for x in f[10].rstrip(",").split(",")]
+        starts = [int(x) for x in f[11].rstrip(",").split(",")]
         if starts and (starts[0] != 0 or end != start + starts[-1] + sizes[-1]):
-            off = starts[0]
-            start += off
-            starts = [s - off for s in starts]
+            start += starts[0]
+            starts = [s - starts[0] for s in starts]
             end = start + starts[-1] + sizes[-1]
+        blocks = [(start + s, start + s + z) for s, z in zip(starts, sizes)]
     else:
-        sizes = [end - start]
-        starts = [0]
-    return chrom, name, start, end, starts, sizes
+        blocks = [(start, end)]
+    return chrom, name, blocks
 
 
-def status_for_line(aln, src, tgt, line: str, edge: float) -> Status:
+def line_status(aln, src: str, tgt: str, line: str, edge: float):
+    """One output row's fields for one BED line."""
     from hal_tpu.ops.liftover import Liftover
 
-    chrom, name, start, end, bstarts, bsizes = _parse_bed_line(line)
-    status = Status(name)
-    status.length = sum(bsizes)
+    chrom, name, blocks = read_bed12(line)
+    length = sum(e - s for s, e in blocks)
 
-    out = io.StringIO()
-    Liftover(aln, src, tgt, out_psl=True).convert(io.StringIO(line + "\n"), out)
-    psls = [psl_pos_target(Psl(l)) for l in out.getvalue().splitlines() if l.strip()]
-    if not psls:
-        return status
-    psls.sort(key=Psl.sort_key)
-    sets = non_overlap_sets(psls)
-    if not sets:
-        return status
-    best, qcov = max(((s, sum(sum(psls[i].block_sizes) for i in s)) for s in sets),
-                     key=lambda x: x[1])
-    status.map = qcov
+    sink = io.StringIO()
+    Liftover(aln, src, tgt, out_psl=True).convert(io.StringIO(line + "\n"),
+                                                  sink)
+    hits = [parse_psl(l) for l in sink.getvalue().splitlines() if l.strip()]
+    if not hits:
+        return name, length, 0, [], [], None, None
+    chosen = best_disjoint(hits)
+    mapped = sum(h.matched for h in chosen)
 
-    currstrand, currtstart, currtend, currtname = "", -1, -1, ""
-    for i, bs in enumerate(bstarts):
-        qs = start + bs
-        qe = qs + bsizes[i]
-        b_ins, b_dels, b_oo, strands, ts, te, tn = block_status(
-            best, psls, qs, qe, edge)
-        status.ins.extend(b_ins)
-        status.dels.extend(b_dels)
+    ins: list[int] = []
+    dels: list[int] = []
+    oo = False
+    cur_rel = None          # orientation of the previous mapped block
+    cur_t = None            # (tname, t0, t1) of the previous mapped block
+    for qs, qe in blocks:
+        p = clip_to_block(chosen, qs, qe)
+        b_ins, b_dels, b_oo = block_events(p, qs, qe, edge)
+        ins.extend(b_ins)
+        dels.extend(b_dels)
+        has = len(p.qlo) > 0
         if b_oo:
-            status.oo = True
-        elif strands:
-            tstrand = strands[0]
-            if currstrand:
-                if currstrand != tstrand and not status.oo:
-                    status.oo = True
-                elif currtname and tn and tn != currtname and not status.oo:
-                    status.oo = True
-                elif ((tstrand == "+" and currtend > ts) or
-                      (tstrand == "-" and currtstart < te)):
-                    status.oo = True
-            currstrand = tstrand
-        if ts > -1 and te > -1:
-            currtstart, currtend, currtname = ts, te, tn
-
-    if status.oo or abs(sum(status.ins) - sum(status.dels)) % 3 > 0:
-        status.inframe = False
-    return status
+            oo = True
+        elif has:
+            rel, tn = p.rel[0], p.tname[0]
+            t0, t1 = int(p.tlo.min()), int(p.thi.max())
+            if cur_rel is not None and not oo:
+                if cur_rel != rel:
+                    oo = True
+                elif cur_t and cur_t[0] and tn and tn != cur_t[0]:
+                    oo = True
+                elif cur_t and ((rel == "+" and cur_t[2] > t0)
+                                or (rel == "-" and cur_t[1] < t1)):
+                    oo = True
+            cur_rel = rel
+        if has:
+            cur_t = (p.tname[0], int(p.tlo.min()), int(p.thi.max()))
+    inframe = not oo and abs(sum(ins) - sum(dels)) % 3 == 0
+    return name, length, mapped, ins, dels, oo, inframe
 
 
 def run(argv=None):
@@ -286,15 +302,16 @@ def run(argv=None):
             line = line.strip()
             if not line or line[0] == "#":
                 continue
-            st = status_for_line(aln, o.queryGenome, o.targetGenome, line, o.edge)
-            ins = ",".join(str(x) for x in st.ins)
-            dels = ",".join(str(x) for x in st.dels)
-            if st.map > 0:
+            name, length, mapped, ins, dels, oo, inframe = line_status(
+                aln, o.queryGenome, o.targetGenome, line, o.edge)
+            ins_s = ",".join(str(x) for x in ins)
+            dels_s = ",".join(str(x) for x in dels)
+            if mapped > 0:
                 out.write("%s\t%d\t%d\t%s\t%s\t%s\t%s\n" % (
-                    st.name, st.length, st.map, ins, dels, st.oo, st.inframe))
+                    name, length, mapped, ins_s, dels_s, oo, inframe))
             else:
                 out.write("%s\t%d\t%d\t%s\t%s\tNA\tNA\n" % (
-                    st.name, st.length, st.map, ins, dels))
+                    name, length, mapped, ins_s, dels_s))
     if out is not sys.stdout:
         out.close()
 
