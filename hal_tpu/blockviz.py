@@ -262,12 +262,27 @@ def get_blocks_in_target_range(handle: Handle, q_species: str, t_species: str,
                                seq_mode: int = HAL_NO_SEQUENCE,
                                dup_mode: int = HAL_QUERY_DUPS,
                                map_back_adjacencies: bool = False,
-                               coalescence_limit: str | None = None):
+                               coalescence_limit: str | None = None,
+                               t_reversed: bool = False):
     """halGetBlocksInTargetRange (halBlockViz.cpp:243, readBlocks :759-813).
 
     Returns (blocks, target_dupes): query-genome alignment blocks of the
     target range, forward-strand coordinates.
+
+    t_reversed queries against the reverse strand of the target range: the
+    reference maps each reference segment reversed-in-place
+    (halBlockMapper.cpp:100-106), which leaves every coordinate
+    forward-normalized and flips each block's strand (readBlock's
+    firstQuerySeg->getReversed(), halBlockViz.cpp:868).  Same validation
+    combos as the reference (halBlockViz.cpp:259-267).
     """
+    if t_reversed and map_back_adjacencies:
+        raise ValueError(
+            "tReversed can only be set when mapBackAdjacencies is 0")
+    if t_reversed and dup_mode == HAL_QUERY_AND_TARGET_DUPS:
+        raise ValueError(
+            "tReversed cannot be set in conjunction with "
+            "dupMode=HAL_QUERY_AND_TARGET_DUPS")
     with _lock:
         qlen = t_end - t_start
         force = seq_mode == HAL_FORCE_LOD0_SEQUENCE
@@ -293,17 +308,18 @@ def get_blocks_in_target_range(handle: Handle, q_species: str, t_species: str,
         for i in order:
             qsi = int(np.searchsorted(qg.seq_start, int(merged.tgt_lo[i]), side="right")) - 1
             qbase = int(qg.seq_start[qsi])
+            rev = bool(merged.rev[i]) ^ t_reversed
             b = Block(
                 q_chrom=qg.seq_names[qsi],
                 t_start=int(merged.src_lo[i]) - base,
                 q_start=int(merged.tgt_lo[i]) - qbase,
                 size=int(merged.src_hi[i] - merged.src_lo[i]),
-                strand="-" if merged.rev[i] else "+",
+                strand="-" if rev else "+",
             )
             if want_seq:
                 b.t_sequence = tg.get_dna_string(int(merged.src_lo[i]), b.size)
                 b.q_sequence = qg.get_dna_string(int(merged.tgt_lo[i]), b.size,
-                                                 reversed_=bool(merged.rev[i]))
+                                                 reversed_=rev)
             blocks.append(b)
 
         target_dupes = []

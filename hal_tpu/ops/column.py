@@ -29,7 +29,6 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from hal_tpu.alignment import Alignment
-from hal_tpu.constants import NULL_INDEX
 from hal_tpu.ops import segmap_host as sm
 
 
@@ -233,12 +232,13 @@ class _GT:
 
     __slots__ = ("top_start", "top_parent", "top_rev", "top_para",
                  "bot_start", "bot_child", "bot_crev", "bot_tparse",
-                 "top_bparse", "seq_start", "n_top", "n_bot", "single_seq",
-                 "children", "parent", "gen")
+                 "top_bparse", "seq_start", "seq_top", "seq_bot", "n_top",
+                 "n_bot", "single_seq", "children", "parent", "gen", "name")
 
     def __init__(self, aln, tree, name):
         gen = aln.open_genome(name)
         self.gen = gen
+        self.name = name
         nt = gen.num_top_segments
         nb = gen.num_bottom_segments
         self.n_top = nt
@@ -258,6 +258,8 @@ class _GT:
         self.top_bparse = (gen.top_bottom_parse[:nt].tolist()
                            if gen.top_bottom_parse.shape[0] else [])
         self.seq_start = gen.seq_start.tolist()
+        self.seq_top = gen.seq_top.tolist()
+        self.seq_bot = gen.seq_bot.tolist()
         self.single_seq = gen.num_sequences <= 1
         self.parent = tree.parent(name)
         self.children = tree.children(name)
@@ -267,7 +269,8 @@ class ColumnDFS:
     """One reference column's tree spreading, with run-length tracking."""
 
     def __init__(self, aln: Alignment, ref: str, scope=None, targets=None,
-                 no_dupes=False, no_ancestors=False, only_orthologs=False):
+                 no_dupes=False, no_ancestors=False, only_orthologs=False,
+                 max_ref_gap: int = 0, track_visits: bool = False):
         self.aln = aln
         self.tree = aln.tree
         self.ref = ref
@@ -276,6 +279,8 @@ class ColumnDFS:
         self.no_dupes = no_dupes
         self.no_ancestors = no_ancestors
         self.only_orthologs = only_orthologs
+        self.max_ref_gap = max_ref_gap
+        self.track_visits = track_visits or max_ref_gap > 0
         self._g = {}
         self._t = {}
         self._leaf = {}
@@ -314,39 +319,64 @@ class ColumnDFS:
         number of columns before any visited segment boundary, and
         ref_positions every visited reference-genome base as (pos, rev)
         (the _leftmostRefPos feed, halColumnIterator.cpp:812-815)."""
+        return self.run_from(self.ref, pos, False)
+
+    def run_from(self, genome: str, pos: int, rev: bool):
+        """DFS from any (genome, pos, rev) — `rev` walks the entry
+        right-to-left (a reversed indel stack entry,
+        halColumnIteratorStack.h:50).  Sub-reference walks of insertion/
+        deletion stack entries use this with genome != self.ref."""
         from bisect import bisect_right
 
         self.rows = []
         self.ref_pos = []
-        t = self.t(self.ref)
+        if self.max_ref_gap > 0:
+            # (table, seg, rem, node_rev) discovery sites, in DFS order
+            self.del_sites = []
+            self.ins_sites = []
+        if self.track_visits:
+            # every visited (genome, pos, rev) BEFORE the noAncestors /
+            # targets output filters — the reference's visit cache records
+            # visited positions regardless of output filtering
+            # (colMapInsert caches first, filters after,
+            # halColumnIterator.cpp:766-800)
+            self.visits = []
+        t = self.t(genome)
         gen = t.gen
         si = 0 if t.single_seq else int(gen.seq_index_at(pos))
         seq_has_tops = int(gen.seq_top[si + 1] - gen.seq_top[si]) > 0
         # clamp the run at the reference sequence end (toRight jumps
         # sequences, re-initializing iterators)
-        self.limit = t.seq_start[si + 1] - pos
+        self.limit = (pos - t.seq_start[si] + 1) if rev else (
+            t.seq_start[si + 1] - pos)
         if seq_has_tops:
             i = bisect_right(t.top_start, pos) - 1
-            self._limit_fwd(t.top_start, i, pos)
-            self._insert(self.ref, pos, False)
-            self._update_parent(self.ref, t, i, pos, False)
+            self._limit_seg(t.top_start, i, pos, rev)
+            self._insert(genome, pos, rev)
+            if self.max_ref_gap > 0:
+                self._site(self.del_sites, t, i, pos, rev)
+            self._update_parent(genome, t, i, pos, rev)
             if not self.only_orthologs:
-                self._next_top_dup(self.ref, t, i, pos, False)
-            self._parse_down(self.ref, t, i, pos, False)
+                self._next_top_dup(genome, t, i, pos, rev)
+            self._parse_down(genome, t, i, pos, rev)
         else:
             b = bisect_right(t.bot_start, pos) - 1
-            self._limit_fwd(t.bot_start, b, pos)
-            self._insert(self.ref, pos, False)
+            self._limit_seg(t.bot_start, b, pos, rev)
+            self._insert(genome, pos, rev)
             for slot, child in enumerate(t.children):
-                self._update_child(self.ref, t, b, pos, False, slot, child)
+                self._update_child(genome, t, b, pos, rev, slot, child)
         return self.rows, self.limit, self.ref_pos
 
-    # ---- helpers ----------------------------------------------------------
-    def _limit_fwd(self, starts, i, pos):
-        rem = starts[i + 1] - pos
-        if rem < self.limit:
-            self.limit = rem
+    @staticmethod
+    def _site(sites, t, i, pos, rev):
+        """Record an indel discovery site: the reference evaluates handle
+        Deletion/handleInsertion at every column but they fire only when
+        the iterator's end offset is 0 — i.e. when the run ends exactly at
+        this segment's traversal-end (rem == run, checked by the caller)."""
+        rem = (pos - t.top_start[i] + 1) if rev else (t.top_start[i + 1] - pos)
+        sites.append((t, i, rem, rev))
 
+    # ---- helpers ----------------------------------------------------------
     def _limit_seg(self, starts, i, pos, rev):
         rem = (pos - starts[i] + 1) if rev else (starts[i + 1] - pos)
         if rem < self.limit:
@@ -355,6 +385,8 @@ class ColumnDFS:
     def _insert(self, gname, pos, rev):
         if gname == self.ref:
             self.ref_pos.append((pos, rev))
+        if self.track_visits:
+            self.visits.append((gname, pos, rev))
         if self.no_ancestors and not self.is_leaf(gname):
             return
         if self.targets and gname not in self.targets:
@@ -409,6 +441,8 @@ class ColumnDFS:
         nrev = rev ^ crev
         self._limit_seg(ct.top_start, j, cpos, nrev)
         self._insert(child, cpos, nrev)
+        if self.max_ref_gap > 0:
+            self._site(self.ins_sites, ct, j, cpos, nrev)
         self._next_top_dup(child, ct, j, cpos, nrev)
         self._parse_down(child, ct, j, cpos, nrev)
 
@@ -430,6 +464,8 @@ class ColumnDFS:
             mrev = crev ^ flip
             self._limit_seg(starts, m, mpos, mrev)
             self._insert(gname, mpos, mrev)
+            if self.max_ref_gap > 0:
+                self._site(self.ins_sites, t, m, mpos, mrev)
             self._parse_down(gname, t, m, mpos, mrev)
             cur, cpos, crev = m, mpos, mrev
             nxt = para[cur]
@@ -446,6 +482,11 @@ class ColumnDFS:
         self._update_parent(gname, t, i, pos, rev)
         if not self.only_orthologs:
             self._next_top_dup(gname, t, i, pos, rev)
+        # deletion site registered AFTER the parse-up recursion, matching
+        # the reference's call order in updateParent (handleDeletion at
+        # halColumnIterator.cpp:594 runs after updateParseUp returns)
+        if self.max_ref_gap > 0:
+            self._site(self.del_sites, t, i, pos, rev)
 
     def _parse_down(self, gname, t, i, pos, rev):
         if not t.top_bparse or t.top_bparse[i] < 0:
@@ -457,11 +498,166 @@ class ColumnDFS:
         for slot, child in enumerate(t.children):
             self._update_child(gname, t, b, pos, rev, slot, child)
 
+    # ---- indel stacks (halColumnIterator.cpp:357-440, atomic
+    # rearrangement scans halRearrangement.cpp:368-518) -------------------
+
+    @staticmethod
+    def _seq_span(bounds, i):
+        """(first, last) segment index of the sequence owning segment i,
+        given the per-sequence first-segment table (seq_top / seq_bot)."""
+        from bisect import bisect_right
+
+        s = bisect_right(bounds, i) - 1
+        return bounds[s], bounds[s + 1] - 1
+
+    def _eval_del_site(self, t: _GT, i: int, o: bool, cum: int):
+        """handleDeletion, atomic: fires when segment i's parent and its
+        iterator-right neighbour's parent flank EXACTLY ONE child-less
+        bottom segment (or, at a sequence end, when the parent has an
+        unaligned neighbour).  Returns (genome, first, last, reversed) of
+        the deleted parent range, or None."""
+        pi = t.top_parent[i]
+        if pi < 0 or t.parent is None:
+            return None
+        pt = self.t(t.parent)
+        slot = self._slot_of(t.parent, t.name)
+        pori = o ^ (t.top_rev[i] != 0)
+        pfirst, plast = self._seq_span(pt.seq_bot, pi)
+        sfirst, slast = self._seq_span(t.seq_top, i)
+        if (i == sfirst) if o else (i == slast):
+            # sequence endpoint: candidate = parent's iterator-left
+            # neighbour, else iterator-right (scanDeletionCycle case 1)
+            p_is_first = (pi == plast) if pori else (pi == pfirst)
+            p_is_last = (pi == pfirst) if pori else (pi == plast)
+            if not p_is_first:
+                cand = pi + 1 if pori else pi - 1
+            elif not p_is_last:
+                cand = pi - 1 if pori else pi + 1
+            else:
+                return None
+        else:
+            j = i - 1 if o else i + 1
+            pj = t.top_parent[j]
+            if pj < 0:
+                return None
+            lo_i, hi_i = (pi, pj) if pi <= pj else (pj, pi)
+            # forward-normalized: parents in the same sequence flanking
+            # exactly one segment (adjacentTo after one toRight)
+            if hi_i != lo_i + 2 or self._seq_span(pt.seq_bot, pj) != (pfirst, plast):
+                return None
+            cand = lo_i + 1
+        if pt.bot_child and pt.bot_child[slot][cand] >= 0:
+            return None  # source of a transposition, not a deletion
+        lo = pt.bot_start[cand]
+        hi = pt.bot_start[cand + 1]
+        if hi - lo + cum > self.max_ref_gap:
+            return None
+        return (t.parent, lo, hi - 1, pori)
+
+    def _eval_ins_site(self, t: _GT, i: int, o: bool, cum: int):
+        """handleInsertion, atomic: fires when segment i's iterator-right
+        neighbour j is parentless and the insertion cycle closes (the
+        parentless run is flanked by segments whose parents are adjacent,
+        or a sequence endpoint is involved).  Returns the (genome, first,
+        last, reversed) of segment j ONLY — the reference walks just the
+        breakpoint-adjacent segment; deeper parentless segments never
+        re-trigger handleInsertion (hasParent guard) — or None."""
+        if t.top_parent[i] < 0:
+            return None
+        sfirst, slast = self._seq_span(t.seq_top, i)
+        if (i == sfirst) if o else (i == slast):
+            return None  # isLast in iterator orientation
+        step = -1 if o else 1
+        j = i + step
+        if t.top_parent[j] >= 0:
+            return None
+        # eat the adjacent parentless run (scanInsertionCycle:373-381)
+        k = j
+        while True:
+            nxt = k + step
+            if (nxt < sfirst or nxt > slast) or t.top_parent[nxt] >= 0:
+                break
+            k = nxt
+        first_iter = (j == slast) if o else (j == sfirst)
+        last_iter = (k == sfirst) if o else (k == slast)
+        if not (first_iter or last_iter):
+            b = k + step
+            pa, pb = t.top_parent[i], t.top_parent[b]
+            if pb < 0:
+                return None
+            pt = self.t(t.parent)
+            fa, la = self._seq_span(pt.seq_bot, pa)
+            fb, lb = self._seq_span(pt.seq_bot, pb)
+            if abs(pa - pb) == 1:
+                pass  # parents adjacent: cycle closes
+            elif (fa, la) == (fb, lb) and (pa in (fa, la) or pb in (fb, lb)):
+                pass  # flanking parent at a sequence endpoint
+            else:
+                return None
+        lo = t.top_start[j]
+        hi = t.top_start[j + 1]
+        if hi - lo + cum > self.max_ref_gap:
+            return None
+        return (t.name, lo, hi - 1, o)
+
+    def collect_indels(self, run: int, cum: int):
+        """Evaluate this run's discovery sites (those whose segment ends
+        exactly at the run's last column) and return new stack entries,
+        ordered for a pop-from-end walk: deletions REVERSED, then
+        insertions in discovery order — so insertions drain first in
+        reverse-discovery order, then deletions in discovery order
+        (toRight's pushStackReversed(deletions) + pushStack(insertions),
+        halColumnIterator.cpp:122-123).  Entry cumulative sizes replicate
+        ColumnIteratorStack::push (first entry of a fresh stack: 0)."""
+        del_entries = []
+        for (t, i, rem, o) in self.del_sites:
+            if rem != run:
+                continue
+            r = self._eval_del_site(t, i, o, cum)
+            if r is not None:
+                g, first, last, erev = r
+                c = (0 if not del_entries
+                     else del_entries[-1][5] + (last - first + 1))
+                del_entries.append([g, last if erev else first, first, last,
+                                    erev, c])
+        ins_entries = []
+        for (t, i, rem, o) in self.ins_sites:
+            if rem != run:
+                continue
+            r = self._eval_ins_site(t, i, o, cum)
+            if r is not None:
+                g, first, last, erev = r
+                c = (0 if not ins_entries
+                     else ins_entries[-1][5] + (last - first + 1))
+                ins_entries.append([g, last if erev else first, first, last,
+                                    erev, c])
+        return del_entries[::-1] + ins_entries
+
+
+def _make_rows(dfs, rows, k, mark_ref):
+    """Row objects for a k-column run; row direction decides the target
+    range ([p, p+k) forward, [p-k+1, p+1) reversed)."""
+    from bisect import bisect_right
+
+    out_rows = []
+    for (gname, p, rev) in rows:
+        t = dfs.t(gname)
+        si = 0 if t.single_seq else bisect_right(t.seq_start, p) - 1
+        if rev:
+            out_rows.append(Row(gname, si, p - k + 1, p + 1, True))
+        else:
+            out_rows.append(Row(gname, si, p, p + k, False))
+    if out_rows and mark_ref:
+        out_rows[0].is_ref = True
+    out_rows.sort(key=_row_key)  # stable: keeps DFS order within a sequence
+    return out_rows
+
 
 def iter_slices_exact(aln: Alignment, ref: str, gs: int, ge: int,
                       scope=None, targets=None, no_dupes=False,
                       no_ancestors=False, only_orthologs=False,
-                      unique=False):
+                      unique=False, max_ref_gap: int = 0,
+                      shared_visit: dict | None = None):
     """Yield Slices over [gs, ge) with reference-exact row order.
 
     Rows come back sorted by SequenceLess (genome name, sequence index —
@@ -470,15 +666,134 @@ def iter_slices_exact(aln: Alignment, ref: str, gs: int, ge: int,
     semantics: a column is emitted iff the current reference position is
     the leftmost reference-genome base the traversal touches
     (colMapInsert cache + isCanonicalOnRef, halColumnIterator.cpp:146-245,
-    halMafExport.cpp:52-62)."""
-    from bisect import bisect_right
+    halMafExport.cpp:52-62).
+
+    max_ref_gap > 0 enables the reference's indel stacks: runs discover
+    insertions/deletions at their last column (the endOffset==0 gate,
+    hoisted), and the discovered ranges are walked as sub-references
+    emitting ref-gap Slices (lo == hi, width = columns) right after the
+    run — insertions first in reverse discovery order, then deletions in
+    discovery order, nesting recursively under the cumulative budget
+    (toRight stack drain, halColumnIterator.cpp:122-126).
+
+    shared_visit ({genome -> PositionCache}, mutated in place) activates
+    the cross-pass unique semantics of hal2maf --global: a column any of
+    whose member positions is already in the cache is skipped outright
+    (colMapInsert returns !found and every recursion site then sets
+    _break, halColumnIterator.cpp:295-299/818; toRight retries the next
+    position while _break), and every REFERENCE-genome position visited is
+    recorded (updateCache = genome == stack[0] genome,
+    halColumnIterator.cpp:772-780).  Runs containing visited columns are
+    split into their maximal unvisited sub-runs."""
+    from .poscache import PositionCache
 
     dfs = ColumnDFS(aln, ref, scope=scope, targets=targets, no_dupes=no_dupes,
-                    no_ancestors=no_ancestors, only_orthologs=only_orthologs)
+                    no_ancestors=no_ancestors, only_orthologs=only_orthologs,
+                    max_ref_gap=max_ref_gap,
+                    track_visits=shared_visit is not None)
     pos = gs
-    while pos < ge:
+    # active indel stack entries: [genome, index, first, last, rev, cum]
+    stack: list = []
+    # visit cache (genome name -> PositionCache): active with indel stacks,
+    # mirroring the reference's VisitCache (halColumnIterator.cpp:753-800) —
+    # positions of genomes currently serving as a (sub-)reference are
+    # recorded, and any row whose range was already recorded is dropped, so
+    # a re-discovered indel range is never emitted twice
+    visit: dict = {}
+
+    def _filter_and_record(out_rows, k):
+        """colMapInsert at run granularity: drop rows fully covered by the
+        cache, then record this run's visits for the live (stack) genomes."""
+        kept = [r for r in out_rows
+                if not ((pc := visit.get(r.genome)) is not None
+                        and pc.covers(r.tgt_lo, r.tgt_hi))]
+        live = {ref}
+        for s in stack:
+            live.add(s[0])
+        for (gname, p, rv) in dfs.visits:
+            if gname in live:
+                pc = visit.get(gname)
+                if pc is None:
+                    pc = visit[gname] = PositionCache()
+                pc.add(p - k + 1, p + 1) if rv else pc.add(p, p + k)
+        return kept
+
+    while pos < ge or stack:
+        if stack:
+            e = stack[-1]
+            genome, idx, first, last, erev, cum = e
+            pc = visit.get(genome)
+            if pc is not None:
+                # nextFreeIndex: the iterator index moves right past
+                # already-visited bases; if none remain in range the entry
+                # pops unwalked (halColumnIterator.cpp:747-762, 82-86)
+                while idx <= last:
+                    iv = pc.interval_at(idx)
+                    if iv is None:
+                        break
+                    idx = iv[1]
+                e[1] = idx
+                if idx < first or idx > last:
+                    stack.pop()
+                    continue
+            rows, limit, _rp = dfs.run_from(genome, idx, erev)
+            remaining = (idx - first + 1) if erev else (last - idx + 1)
+            run = min(limit, remaining)
+            if pc is not None:
+                # stop the run at the next already-visited base
+                run = min(run, pc.free_run(idx, not erev))
+            out_rows = _filter_and_record(
+                _make_rows(dfs, rows, run, mark_ref=False), run)
+            if out_rows:
+                yield Slice(pos, pos, out_rows, width=run, sorted_rows=True)
+            subs = (dfs.collect_indels(run, cum)
+                    if max_ref_gap > 0 and len(stack) < 64 else [])
+            e[1] = idx - run if erev else idx + run
+            if (e[1] < first) if erev else (e[1] > last):
+                stack.pop()
+            stack.extend(subs)
+            continue
         rows, limit, ref_positions = dfs.run(pos)
         run = min(limit, ge - pos)
+        if shared_visit is not None:
+            k = run
+            # columns any of whose member positions was already visited are
+            # skipped (the _break-on-found retry loop); compute the visited
+            # column offsets from every genome's cache
+            bad = np.zeros(k, bool)
+            for (gname, p, rv) in dfs.visits:
+                pc = shared_visit.get(gname)
+                if pc is None:
+                    continue
+                vlo, vhi = (p - k + 1, p + 1) if rv else (p, p + k)
+                for (a, b) in pc.overlaps(vlo, vhi):
+                    o0, o1 = (p - b + 1, p - a + 1) if rv else (a - p, b - p)
+                    bad[o0:o1] = True
+            # record the REFERENCE genome's row positions over the full run
+            # (updateCache: only stack[0]'s genome is recorded; broken
+            # columns still cache their DFS prefix, so record all offsets)
+            pc = shared_visit.get(ref)
+            if pc is None:
+                pc = shared_visit[ref] = PositionCache()
+            for (gname, p, rv) in dfs.visits:
+                if gname == ref:
+                    pc.add(p - k + 1, p + 1) if rv else pc.add(p, p + k)
+            o = 0
+            while o < k:
+                if bad[o]:
+                    o += 1
+                    continue
+                o1 = o
+                while o1 < k and not bad[o1]:
+                    o1 += 1
+                sub = [(g2, (p2 - o if rv2 else p2 + o), rv2)
+                       for (g2, p2, rv2) in rows]
+                out_rows = _make_rows(dfs, sub, o1 - o, mark_ref=True)
+                if out_rows:
+                    yield Slice(pos + o, pos + o1, out_rows, sorted_rows=True)
+                o = o1
+            pos += run
+            continue
         kemit = run
         if unique:
             for (p0, rev) in ref_positions:
@@ -490,145 +805,28 @@ def iter_slices_exact(aln: Alignment, ref: str, gs: int, ge: int,
                 elif p0 < pos:
                     kemit = 0
         if kemit > 0:
-            out_rows = []
-            for (gname, p, rev) in rows:
-                t = dfs.t(gname)
-                si = 0 if t.single_seq else bisect_right(t.seq_start, p) - 1
-                if rev:
-                    out_rows.append(Row(gname, si, p - kemit + 1, p + 1, True))
-                else:
-                    out_rows.append(Row(gname, si, p, p + kemit, False))
+            out_rows = _make_rows(dfs, rows, kemit, mark_ref=True)
+            if max_ref_gap > 0:
+                out_rows = _filter_and_record(out_rows, run)
             if out_rows:
-                out_rows[0].is_ref = True
-            # stable: keeps DFS order within a sequence
-            out_rows.sort(key=_row_key)
-            yield Slice(pos, pos + kemit, out_rows, sorted_rows=True)
+                yield Slice(pos, pos + kemit, out_rows, sorted_rows=True)
+        if max_ref_gap > 0:
+            stack.extend(dfs.collect_indels(run, 0))
         pos += run
-
-
-def _unaligned_run(gen, lo: int, hi: int) -> bool:
-    """True iff every top segment covering [lo, hi) has no parent — the
-    Rearrangement::identifyInsertionFromLeftBreakpoint criterion (an
-    aligned-elsewhere run is a translocation, not an insertion)."""
-    if gen.num_top_segments == 0:
-        return False
-    i = int(gen.top_index_at(lo))
-    while i < gen.num_top_segments and int(gen.top_start[i]) < hi:
-        if int(gen.top_parent[i]) != NULL_INDEX:
-            return False
-        i += 1
-    return True
-
-
-def insertion_slices(aln: Alignment, frags_by_genome: dict,
-                     max_ref_gap: int) -> dict:
-    """{ref anchor -> [Slice]} of insertion columns: a run of target-genome
-    bases between two target-ADJACENT mapped fragments, unaligned to the
-    target's parent, of length <= max_ref_gap (reference
-    ColumnIterator::handleInsertion, halColumnIterator.cpp:382-401;
-    enabled by hal2maf --maxRefGap).  The anchor is the reference-side end
-    of the ref-earlier flank — where the left-to-right scan crosses the
-    breakpoint and the reference's insertion stack is emitted."""
-    out: dict = {}
-    for gname, f in frags_by_genome.items():
-        gen = aln.open_genome(gname)
-        if gen.num_top_segments == 0:
-            continue
-        by_key: dict = {}
-        for i in range(len(f.src_lo)):
-            si = int(np.searchsorted(gen.seq_start, int(f.tgt_lo[i]), side="right")) - 1
-            by_key.setdefault((si, bool(f.rev[i])), []).append(
-                (int(f.tgt_lo[i]), int(f.tgt_hi[i]), int(f.src_lo[i]), int(f.src_hi[i])))
-        for (si, rev), lst in by_key.items():
-            lst.sort()
-            for (t0, u0, s0, e0), (t1, u1, s1, e1) in zip(lst, lst[1:]):
-                gap = t1 - u0
-                if not (0 < gap <= max_ref_gap):
-                    continue
-                if not _unaligned_run(gen, u0, t1):
-                    continue
-                anchor = min(e0, e1)
-                row = Row(gname, si, u0, t1, rev)
-                out.setdefault(anchor, []).append(
-                    Slice(anchor, anchor, [row], width=gap))
-    for b, sls in out.items():
-        sls.sort(key=lambda s: (s.rows[0].genome, s.rows[0].seq_idx,
-                                s.rows[0].tgt_lo))
-    return out
-
-
-def deletion_slices(aln: Alignment, ref: str, gs: int, ge: int,
-                    frags_by_genome: dict, max_ref_gap: int,
-                    no_ancestors: bool = False) -> dict:
-    """{ref anchor -> [Slice]} of deletion columns: bases of the reference's
-    PARENT genome deleted between two adjacent reference top segments
-    (reference ColumnIterator::handleDeletion, halColumnIterator.cpp:357-381
-    + the deletion stack drained in toRight :122-126).  The deleted parent
-    window is spread to the rest of the scope by recursing the slice engine
-    with the parent as reference; the original reference contributes no
-    base, so these render as ref-gap columns like insertions."""
-    out: dict = {}
-    tree = aln.tree
-    parent = tree.parent(ref)
-    if parent is None:
-        return out
-    g = aln.open_genome(ref)
-    pg = aln.open_genome(parent)
-    if g.num_top_segments == 0:
-        return out
-    i0 = int(g.top_index_at(max(gs, 0)))
-    i1 = int(g.top_index_at(min(ge, g.length) - 1))
-    scope = set(frags_by_genome) | {parent}
-    scope_root = min(scope, key=lambda n: tree.depth(n))
-    for i in range(i0, i1):
-        pa, pb = int(g.top_parent[i]), int(g.top_parent[i + 1])
-        if pa < 0 or pb < 0:
-            continue
-        ra, rb = bool(g.top_parent_reversed[i]), bool(g.top_parent_reversed[i + 1])
-        if ra != rb:
-            continue
-        if ra:
-            d0, d1 = int(pg.bot_start[pb + 1]), int(pg.bot_start[pa])
-        else:
-            d0, d1 = int(pg.bot_start[pa + 1]), int(pg.bot_start[pb])
-        gap = d1 - d0
-        if not (0 < gap <= max_ref_gap):
-            continue
-        # parent range must be a real deletion: nothing in it maps to ref
-        slot = tree.child_index(parent, ref)
-        b0 = int(pg.bot_index_at(d0))
-        deleted = True
-        b = b0
-        while b < pg.num_bottom_segments and int(pg.bot_start[b]) < d1:
-            if int(pg.bot_child[b, slot]) != NULL_INDEX:
-                deleted = False
-                break
-            b += 1
-        if not deleted:
-            continue
-        anchor = int(g.top_start[i + 1])
-        if not (gs <= anchor <= ge):
-            continue
-        sub_frags = window_fragments(aln, parent, d0, d1, scope, scope_root)
-        for sub in iter_slices(aln, parent, d0, d1, sub_frags,
-                               no_ancestors=no_ancestors):
-            rows = []
-            for r in sub.rows:
-                rows.append(Row(r.genome, r.seq_idx, r.tgt_lo, r.tgt_hi, r.rev))
-            out.setdefault(anchor, []).append(
-                Slice(anchor, anchor, rows, width=sub.width))
-    return out
 
 
 def iter_slices(aln: Alignment, ref: str, gs: int, ge: int,
                 frags_by_genome: dict, no_ancestors: bool = False,
-                unique_start: int | None = None,
-                max_ref_gap: int = 0):
+                unique_start: int | None = None):
     """Yield atomic Slices over [gs, ge).
 
     unique_start: when set (--unique), positions whose column's leftmost
     ref-genome coordinate is < unique_start are skipped (reference
-    isCanonicalOnRef, halColumnIterator.cpp:208)."""
+    isCanonicalOnRef, halColumnIterator.cpp:208).
+
+    Indel recursion (--maxRefGap) lives exclusively in iter_slices_exact's
+    stack walker; this fragment-table engine serves the bulk/batched
+    consumers (halPhyloP windows, --global) that never request indels."""
     tree = aln.tree
     # global breakpoint set in ref coords
     cuts = {gs, ge}
@@ -640,12 +838,6 @@ def iter_slices(aln: Alignment, ref: str, gs: int, ge: int,
     # canonical mask for --unique: per ref position, the leftmost ref-genome
     # position among its ref-genome rows
     ref_frags = frags_by_genome.get(ref)
-
-    inserts = (insertion_slices(aln, frags_by_genome, max_ref_gap)
-               if max_ref_gap > 0 else {})
-    deletes = (deletion_slices(aln, ref, gs, ge, frags_by_genome, max_ref_gap,
-                               no_ancestors)
-               if max_ref_gap > 0 else {})
 
     # ---- vectorized (fragment x slice) expansion ------------------------
     # every fragment boundary is a cut, so a fragment covers slices
@@ -721,15 +913,6 @@ def iter_slices(aln: Alignment, ref: str, gs: int, ge: int,
         a, b = int(bnd[i]), int(bnd[i + 1])
         if b <= a:
             continue
-        # indel columns anchored at this breakpoint come first: insertions,
-        # then deletions (the reference drains the insertion stack before
-        # the reversed-pushed deletion stack, halColumnIterator.cpp:122-126)
-        for ins in inserts.pop(a, []):
-            if no_ancestors and not tree.is_leaf(ins.rows[0].genome):
-                continue
-            yield ins
-        for dl in deletes.pop(a, []):
-            yield dl
         if skip[i]:
             continue
         rows = [Row(genome_names[gid[k]], int(seq[k]), int(tlo[k]),
@@ -743,9 +926,3 @@ def iter_slices(aln: Alignment, ref: str, gs: int, ge: int,
             rows.sort(key=lambda r: (not r.is_ref, r.genome, r.seq_idx,
                                      r.tgt_lo, r.rev))
         yield Slice(a, b, rows)
-    # insertions anchored at (or clipped to) the window end
-    for anchor in sorted(inserts):
-        for ins in inserts[anchor]:
-            if no_ancestors and not tree.is_leaf(ins.rows[0].genome):
-                continue
-            yield ins

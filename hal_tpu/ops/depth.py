@@ -35,21 +35,21 @@ def depth_counts(aln: Alignment, ref: str, gs: int, ge: int, scope, scope_root,
             np.add.at(diff, frags.src_lo - gs, 1)
             np.add.at(diff, frags.src_hi - gs, -1)
         else:
-            # unique-genome indicator: union of fragment src intervals
-            iv = np.stack([frags.src_lo, frags.src_hi], axis=1)
-            iv = iv[np.argsort(iv[:, 0])]
-            cur_lo, cur_hi = None, None
-            for lo, hi in iv:
-                if cur_hi is None or lo > cur_hi:
-                    if cur_hi is not None:
-                        diff[cur_lo - gs] += 1
-                        diff[cur_hi - gs] -= 1
-                    cur_lo, cur_hi = lo, hi
-                else:
-                    cur_hi = max(cur_hi, hi)
-            if cur_hi is not None:
-                diff[cur_lo - gs] += 1
-                diff[cur_hi - gs] -= 1
+            # unique-genome indicator: union of fragment src intervals,
+            # vectorized — sort by lo, running max of hi; an interval opens
+            # a new union run iff its lo clears every earlier hi
+            lo = np.sort(frags.src_lo, kind="stable")
+            order = np.argsort(frags.src_lo, kind="stable")
+            hi = np.maximum.accumulate(frags.src_hi[order])
+            new = np.ones(len(lo), bool)
+            new[1:] = lo[1:] > hi[:-1]
+            idx = np.flatnonzero(new)
+            starts = lo[idx]
+            ends = np.empty(len(idx), np.int64)
+            ends[:-1] = hi[idx[1:] - 1]
+            ends[-1] = hi[-1]
+            np.add.at(diff, starts - gs, 1)
+            np.add.at(diff, ends - gs, -1)
     counts = np.cumsum(diff[:-1])
     return counts - 1  # remove the reference's own contribution
 
@@ -153,8 +153,14 @@ def depth_counts_device(aln: Alignment, ref: str, gs: int, ge: int, scope,
                 caps.extend(cap_for(lv) for lv in path.levels[path.n_up:])
                 caps = tuple(caps)
             cover, ovf = _depth_one(path, lo, hi, caps, window, count_dupes)
-            if totals is not None or not bool(np.asarray(ovf.reshape(1))[0]):
+            if not bool(np.asarray(ovf.reshape(1))[0]):
                 break
+            if totals is not None:
+                # host-sized caps must never overflow; a truncated coverage
+                # vector must not be returned silently
+                raise RuntimeError(
+                    "device depth overflow under host-sized caps: host "
+                    "sizing algebra diverged from the device expansion")
             mult *= 2
             if mult > 4096:
                 raise RuntimeError("depth capacity blowup")

@@ -157,15 +157,23 @@ def analyze_branch(aln: Alignment, child: str,
                  pre[np.minimum(plo, pg.num_bottom_segments)]) == par_gap_segs
 
     # junction chains: 'm' colinear, 'gi' small child gap, 'gd' small clean
-    # parent gap; everything else breaks the gapped run
+    # parent gap, 'gg' BOTH a small child gap and a small clean parent gap
+    # (the reference's gapped iterators take gap-insertion and gap-deletion
+    # extension steps independently, so one junction can carry both —
+    # exercised by RearrangementGappedInversionTest,
+    # api/tests/halRearrangementTest.cpp:124-196); everything else breaks
+    # the gapped run
+    small_cgap = (child_gap > 0) & (child_gap <= gap_threshold)
+    small_pgap = par_clean & (par_gap > 0) & (par_gap <= gap_threshold)
     j_m = same & (child_gap == 0) & par_adj
-    j_gi = same & (child_gap > 0) & (child_gap <= gap_threshold) & par_adj
-    j_gd = same & (child_gap == 0) & ~par_adj & par_clean & (par_gap > 0) & (par_gap <= gap_threshold)
-    chain = j_m | j_gi | j_gd
+    j_gi = same & small_cgap & par_adj
+    j_gd = same & (child_gap == 0) & ~par_adj & small_pgap
+    j_gg = same & small_cgap & ~par_adj & small_pgap
+    chain = j_m | j_gi | j_gd | j_gg
 
-    for k in np.flatnonzero(j_gi):
+    for k in np.flatnonzero(j_gi | j_gg):
         out.events.append(Event("GI", int(g.top_start[t1[k] + 1]), int(g.top_start[t2[k]])))
-    for k in np.flatnonzero(j_gd):
+    for k in np.flatnonzero(j_gd | j_gg):
         out.events.append(Event("GD", parent_lo=int(pg.bot_start[plo[k]]),
                                 parent_hi=int(pg.bot_start[phi[k]])))
 
@@ -243,16 +251,42 @@ def analyze_branch(aln: Alignment, child: str,
             elif not any(e2.kind == "GI" and e2.child_lo == lo for e2 in out.events):
                 out.events.append(Event("GI", lo, hi))
 
-    # ---- deletions: clean unaligned parent ranges at big junctions ---
-    j_del = same & (child_gap == 0) & ~par_adj & par_clean & (par_gap > gap_threshold)
+    # ---- deletions: clean unaligned parent ranges between ADJACENT child
+    # tops.  The reference's scanDeletionCycle forward-normalizes both
+    # parents and swaps them ("don't care about inversions",
+    # halRearrangement.cpp:446-500), so the flanking tops' orientations
+    # need not match — only parent-sequence identity and a childless
+    # flanked range matter
+    nb = pg.num_bottom_segments
+    tops_adj = (t2 == t1 + 1) & (t_seq[:-1] == t_seq[1:])
+    same_pseq = p_seq[:-1] == p_seq[1:]
+    plo2 = np.minimum(p1, p2) + 1
+    phi2 = np.maximum(p1, p2)
+    clean2 = (pre[np.minimum(phi2, nb)] - pre[np.minimum(plo2, nb)]) == \
+        np.maximum(phi2 - plo2, 0)
+    gap2 = np.where(phi2 > plo2,
+                    pg.bot_start[np.minimum(phi2, nb)] -
+                    pg.bot_start[np.minimum(plo2, nb)], 0)
+    del_cycle = tops_adj & same_pseq & (phi2 > plo2) & clean2
+    j_del = del_cycle & (gap2 > gap_threshold)
     for k in np.flatnonzero(j_del):
-        pl, ph = int(pg.bot_start[plo[k]]), int(pg.bot_start[phi[k]])
+        pl, ph = int(pg.bot_start[plo2[k]]), int(pg.bot_start[phi2[k]])
         out.events.append(Event("D", parent_lo=pl, parent_hi=ph))
         out.events.append(Event("DB", int(g.top_start[t1[k] + 1] - 1),
                                 int(g.top_start[t2[k]]) + 1, pl, ph))
+    # small clean deletions at junctions the run chaining didn't absorb
+    # (e.g. between opposite-orientation flanks) are Gap events
+    # (identifyFromLeftBreakpoint's `<= gapThreshold -> Gap`,
+    # halRearrangement.cpp:86-88)
+    for k in np.flatnonzero(del_cycle & (gap2 <= gap_threshold) & ~chain):
+        out.events.append(Event("GD", parent_lo=int(pg.bot_start[plo2[k]]),
+                                parent_hi=int(pg.bot_start[phi2[k]])))
 
-    # ---- complex/other: junctions that neither chain nor classify ----
-    for k in np.flatnonzero((~chain) & (~j_del)):
+    # ---- complex/other: junctions that neither chain nor classify.
+    # Cross-sequence junctions are array-scan artifacts, not breakpoints
+    # (the reference's iterators never evaluate across a sequence end)
+    for k in np.flatnonzero((~chain) & ~del_cycle &
+                            (t_seq[:-1] == t_seq[1:])):
         out.events.append(Event("O", int(g.top_start[t1[k] + 1] - 1),
                                 int(g.top_start[t2[k]]) + 1))
     return out

@@ -11,8 +11,7 @@ import numpy as np
 
 from hal_tpu import open_alignment
 from hal_tpu.io.maf_io import DEFAULT_MAX_BLOCK_LEN, MafBlockBuilder, write_header
-from hal_tpu.ops.column import (compute_scope, iter_slices, iter_slices_exact,
-                                window_fragments)
+from hal_tpu.ops.column import compute_scope, iter_slices_exact
 from hal_tpu.tools import HalError, add_storage_options, make_parser, tool_main
 
 # reference windows are processed in chunks so memory stays bounded on
@@ -21,24 +20,13 @@ WINDOW = 1 << 20
 
 
 def export_window(out, aln, ref, gs, ge, scope, targets, o, builder):
-    if o.maxRefGap > 0:
-        # indel recursion keeps the legacy fragment path (approximate row
-        # ordering); the exact DFS path covers the default flag space
-        scope_root = min(scope or set(aln.tree.names()),
-                         key=lambda n: aln.tree.depth(n))
-        frags = window_fragments(aln, ref, gs, ge, scope or set(aln.tree.names()),
-                                 scope_root,
-                                 do_dupes=not (o.noDupes or o.onlyOrthologs))
-        slices = iter_slices(aln, ref, gs, ge, frags,
-                             no_ancestors=o.noAncestors,
-                             unique_start=gs if o.unique else None,
-                             max_ref_gap=o.maxRefGap)
-    else:
-        slices = iter_slices_exact(aln, ref, gs, ge, scope=scope,
-                                   targets=targets, no_dupes=o.noDupes,
-                                   no_ancestors=o.noAncestors,
-                                   only_orthologs=o.onlyOrthologs,
-                                   unique=o.unique)
+    """One code path for every flag combination: the exact-DFS slice
+    engine, with the reference's indel stacks when --maxRefGap > 0."""
+    slices = iter_slices_exact(aln, ref, gs, ge, scope=scope,
+                               targets=targets, no_dupes=o.noDupes,
+                               no_ancestors=o.noAncestors,
+                               only_orthologs=o.onlyOrthologs,
+                               unique=o.unique, max_ref_gap=o.maxRefGap)
     for block in builder.feed(slices):
         out.write(block + "\n")
 
@@ -155,54 +143,24 @@ def run(argv=None):
 
 
 def _export_global(out, aln, o):
-    """--global: every column exactly once, scanning leaves with a shared
-    visit cache over already-emitted positions."""
-    from hal_tpu.ops.column import compute_scope as _scope
-
-    visited = {}  # genome -> list of (lo, hi) emitted (interval set)
-    leaves = [n for n in aln.genome_names() if aln.tree.is_leaf(n)]
-    for ref in leaves:
+    """--global: every column exactly once, one unique pass per leaf genome
+    with ONE visit cache carried between passes (convertEntireAlignment,
+    maf/impl/halMafExport.cpp:90-160: unique column iterator +
+    setVisitCache of the previous passes' caches).  The skip/record
+    semantics live in iter_slices_exact(shared_visit=...)."""
+    visited: dict = {}  # genome -> PositionCache, shared across passes
+    for ref in (n for n in aln.genome_names() if aln.tree.is_leaf(n)):
         g = aln.open_genome(ref)
-        scope, scope_root = _scope(aln, ref, None, None)
         builder = MafBlockBuilder(aln, ref, max_block_len=o.maxBlockLen,
                                   ucsc_names=not o.onlySequenceNames)
-        vis = _IntervalSet(visited.setdefault(ref, []))
-        pos = 0
-        while pos < g.length:
-            end = min(pos + WINDOW, g.length)
-            frags = window_fragments(aln, ref, pos, end, scope, scope_root,
-                                     do_dupes=not (o.noDupes or o.onlyOrthologs))
-            slices = list(iter_slices(aln, ref, pos, end, frags,
-                                      no_ancestors=o.noAncestors,
-                                      unique_start=pos if True else None))
-            keep = []
-            for sl in slices:
-                if not vis.contains(sl.lo, sl.hi):
-                    keep.append(sl)
-                    # mark every genome position of the column visited
-                    for r in sl.rows:
-                        if r.genome in visited or aln.tree.is_leaf(r.genome):
-                            _IntervalSet(visited.setdefault(r.genome, [])).add(r.tgt_lo, r.tgt_hi)
-            for block in builder.feed(keep):
-                out.write(block + "\n")
-            pos = end
+        for block in builder.feed(iter_slices_exact(
+                aln, ref, 0, g.length, no_dupes=o.noDupes,
+                no_ancestors=o.noAncestors, only_orthologs=o.onlyOrthologs,
+                shared_visit=visited)):
+            out.write(block + "\n")
         block = builder.flush_end()
         if block:
             out.write(block + "\n")
-
-
-class _IntervalSet:
-    """Minimal interval set over a shared list (PositionCache equivalent,
-    api/inc/halPositionCache.h)."""
-
-    def __init__(self, backing: list):
-        self.iv = backing
-
-    def add(self, lo, hi):
-        self.iv.append((lo, hi))
-
-    def contains(self, lo, hi):
-        return any(a <= lo and hi <= b for a, b in self.iv)
 
 
 def main(argv=None):

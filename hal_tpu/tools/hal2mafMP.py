@@ -129,8 +129,10 @@ def run(argv=None):
             ref_len = o.length or int(statistics.median([ln for _, ln in stats]))
             slice_size = math.ceil(ref_len / o.numProc)
         for seq, seq_len in stats:
-            for s, ln, idx in compute_slices(o.start or 0,
-                                             o.length or seq_len, slice_size):
+            start = o.start or 0
+            for s, ln, idx in compute_slices(start,
+                                             min(o.length or seq_len,
+                                                 seq_len - start), slice_size):
                 add(o.mafFile, idx, "%s --refSequence %s --start %d --length %d"
                     % (extra, seq, s, ln))
 

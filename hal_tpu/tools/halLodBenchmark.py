@@ -24,6 +24,36 @@ def total_segments(hal: str) -> tuple:
     return tot_top, tot_bot
 
 
+def aligned_bases(hal: str) -> tuple:
+    """(total, canonical) child bases aligned to a parent, summed over all
+    branches.  total - canonical = the paralogous share, which
+    extract_lod's ortholog-only model drops by design — this quantifies
+    that cost vs the reference LodExtract (lod/impl/halLodExtract.cpp),
+    which retains paralogy through its column-sampled graph."""
+    import numpy as np
+
+    from hal_tpu.constants import NULL_INDEX
+    from hal_tpu.storage import open_alignment
+
+    aln = open_alignment(hal)
+    total = canon = 0
+    for name in aln.genome_names():
+        parent = aln.tree.parent(name)
+        if parent is None:
+            continue
+        g = aln.open_genome(name)
+        if g.num_top_segments == 0:
+            continue
+        pg = aln.open_genome(parent)
+        slot = aln.tree.child_index(parent, name)
+        lens = np.diff(g.top_start)
+        idx = np.flatnonzero(g.top_parent != NULL_INDEX)
+        total += int(lens[idx].sum())
+        canonical = pg.bot_child[g.top_parent[idx], slot] == idx
+        canon += int(lens[idx[canonical]].sum())
+    return total, canon
+
+
 def run(argv=None):
     p = make_parser("halLodBenchmark",
                     "Benchmark halLodExtract across step sizes")
@@ -35,12 +65,19 @@ def run(argv=None):
                    help="also export MAF per level and count columns")
     p.add_argument("--keepSequences", action="store_true")
     o = p.parse_args(argv)
+    if o.doMaf:
+        o.keepSequences = True  # MAF export needs DNA in the LOD file
 
     os.makedirs(o.outDir, exist_ok=True)
     base_top, base_bot = total_segments(o.hal)
     base_size = os.path.getsize(o.hal)
+    base_total, base_canon = aligned_bases(o.hal)
     out = sys.stdout
-    out.write("step, time(s), fileSize, sizeRatio, topSegs, botSegs, segRatio")
+    out.write("# baseline alignedBases=%d canonical=%d paralogShare=%.4f\n"
+              % (base_total, base_canon,
+                 1.0 - base_canon / max(base_total, 1)))
+    out.write("step, time(s), fileSize, sizeRatio, topSegs, botSegs, "
+              "segRatio, alignedBases, coverage")
     if o.doMaf:
         out.write(", mafLines")
     out.write("\n")
@@ -55,9 +92,11 @@ def run(argv=None):
         dt = time.time() - t0
         top, bot = total_segments(lod)
         size = os.path.getsize(lod)
-        row = "%d, %.2f, %d, %.3f, %d, %d, %.3f" % (
+        lod_total, _ = aligned_bases(lod)
+        row = "%d, %.2f, %d, %.3f, %d, %d, %.3f, %d, %.4f" % (
             step, dt, size, size / max(base_size, 1), top, bot,
-            (top + bot) / max(base_top + base_bot, 1))
+            (top + bot) / max(base_top + base_bot, 1),
+            lod_total, lod_total / max(base_total, 1))
         if o.doMaf:
             maf = os.path.join(o.outDir, "lod%d.maf" % step)
             with open(maf, "w") as f:

@@ -104,13 +104,12 @@ static std::string py_err_string() {
     return out;
 }
 
-/* Initialize the embedded interpreter and import hal_tpu.blockviz.  The
- * repo root is resolved from this shared object's own path (native/.. )
- * so no environment setup is needed beyond having the library in place. */
-static bool ensure_python(char **errStr) {
-    if (g_module != NULL) {
-        return true;
-    }
+/* Bring up the interpreter if this process has none.  Py_InitializeEx
+ * leaves the calling thread owning the GIL; release it immediately with
+ * PyEval_SaveThread so that EVERY entry point — from any thread,
+ * including ctypes callers whose GIL was released around the foreign
+ * call — acquires it uniformly through PyGILState_Ensure. */
+static void ensure_interpreter(void) {
     if (!Py_IsInitialized()) {
         // when this library is dlopen'd (the browser case), libpython comes
         // in RTLD_LOCAL and numpy/jax C extensions cannot resolve Python
@@ -124,6 +123,27 @@ static bool ensure_python(char **errStr) {
             dlopen(pylib, RTLD_NOW | RTLD_GLOBAL);
         }
         Py_InitializeEx(0);
+        PyEval_SaveThread();
+    }
+}
+
+/* RAII GIL hold for one entry-point body (call with g_mutex held and the
+ * interpreter initialized). */
+struct GilHold {
+    PyGILState_STATE st;
+    GilHold() : st(PyGILState_Ensure()) {
+    }
+    ~GilHold() {
+        PyGILState_Release(st);
+    }
+};
+
+/* Import hal_tpu.blockviz (GIL must be held).  The repo root is resolved
+ * from this shared object's own path (native/.. ) so no environment setup
+ * is needed beyond having the library in place. */
+static bool ensure_python(char **errStr) {
+    if (g_module != NULL) {
+        return true;
     }
     Dl_info info;
     std::string root;
@@ -171,14 +191,18 @@ extern "C" {
 
 int halOpenHalOrLod(char *lodFilePath, char **errStr) {
     pthread_mutex_lock(&g_mutex);
+    ensure_interpreter();
     int handle = -1;
-    if (ensure_python(errStr)) {
-        PyObject *h = PyObject_CallMethod(g_module, "hal_open", "s", lodFilePath);
-        if (h == NULL) {
-            set_err(errStr, py_err_string());
-        } else {
-            handle = g_next_handle++;
-            (*g_handles)[handle] = h;
+    {
+        GilHold gil;
+        if (ensure_python(errStr)) {
+            PyObject *h = PyObject_CallMethod(g_module, "hal_open", "s", lodFilePath);
+            if (h == NULL) {
+                set_err(errStr, py_err_string());
+            } else {
+                handle = g_next_handle++;
+                (*g_handles)[handle] = h;
+            }
         }
     }
     pthread_mutex_unlock(&g_mutex);
@@ -196,6 +220,7 @@ int halOpen(char *halFilePath, char **errStr) {
 void halClose(int handle, char **errStr) {
     pthread_mutex_lock(&g_mutex);
     if (g_handles != NULL && g_handles->count(handle)) {
+        GilHold gil;
         Py_DECREF((*g_handles)[handle]);
         g_handles->erase(handle);
     }
@@ -264,19 +289,33 @@ struct hal_block_results_t *halGetBlocksInTargetRange(
     hal_int_t tStart, hal_int_t tEnd, hal_int_t tReversed,
     hal_seqmode_type_t seqMode, hal_dup_type_t dupMode,
     int mapBackAdjacencies, const char *coalescenceLimitName, char **errStr) {
+    // reference-parity validation (halBlockViz.cpp:259-267)
+    if (tReversed != 0 && mapBackAdjacencies != 0) {
+        set_err(errStr, "halGetBlocksInTargetRange tReversed can only be set "
+                        "when mapBackAdjacencies is 0");
+        return NULL;
+    }
+    if (tReversed != 0 && dupMode == HAL_QUERY_AND_TARGET_DUPS) {
+        set_err(errStr, "tReversed cannot be set in conjunction with "
+                        "dupMode=HAL_QUERY_AND_TARGET_DUPS");
+        return NULL;
+    }
     pthread_mutex_lock(&g_mutex);
     struct hal_block_results_t *results = NULL;
+    GilHold *gil = NULL;
     do {
         if (g_handles == NULL || !g_handles->count(halHandle)) {
             set_err(errStr, "bad handle");
             break;
         }
+        gil = new GilHold();
         PyObject *h = (*g_handles)[halHandle];
         PyObject *kw = Py_BuildValue(
-            "{s:i,s:i,s:O,s:z}", "seq_mode", (int)seqMode, "dup_mode",
+            "{s:i,s:i,s:O,s:z,s:O}", "seq_mode", (int)seqMode, "dup_mode",
             (int)dupMode, "map_back_adjacencies",
             mapBackAdjacencies ? Py_True : Py_False, "coalescence_limit",
-            coalescenceLimitName);
+            coalescenceLimitName, "t_reversed",
+            tReversed ? Py_True : Py_False);
         PyObject *args = Py_BuildValue("(OsssLL)", h, qSpecies, tSpecies,
                                        tChrom, (long long)tStart,
                                        (long long)tEnd);
@@ -346,6 +385,7 @@ struct hal_block_results_t *halGetBlocksInTargetRange(
         }
         Py_DECREF(res);
     } while (0);
+    delete gil;
     pthread_mutex_unlock(&g_mutex);
     return results;
 }
@@ -353,11 +393,13 @@ struct hal_block_results_t *halGetBlocksInTargetRange(
 struct hal_species_t *halGetSpecies(int halHandle, char **errStr) {
     pthread_mutex_lock(&g_mutex);
     struct hal_species_t *head = NULL;
+    GilHold *gil = NULL;
     do {
         if (g_handles == NULL || !g_handles->count(halHandle)) {
             set_err(errStr, "bad handle");
             break;
         }
+        gil = new GilHold();
         PyObject *res = PyObject_CallMethod(
             g_module, "get_species_info", "O", (*g_handles)[halHandle]);
         if (res == NULL) {
@@ -384,6 +426,7 @@ struct hal_species_t *halGetSpecies(int halHandle, char **errStr) {
         }
         Py_DECREF(res);
     } while (0);
+    delete gil;
     pthread_mutex_unlock(&g_mutex);
     return head;
 }
@@ -402,11 +445,13 @@ char *halGetDna(int halHandle, char *speciesName, char *chromName,
                 hal_int_t start, hal_int_t end, char **errStr) {
     pthread_mutex_lock(&g_mutex);
     char *out = NULL;
+    GilHold *gil = NULL;
     do {
         if (g_handles == NULL || !g_handles->count(halHandle)) {
             set_err(errStr, "bad handle");
             break;
         }
+        gil = new GilHold();
         PyObject *res = PyObject_CallMethod(
             g_module, "get_dna", "OssLL", (*g_handles)[halHandle], speciesName,
             chromName, (long long)start, (long long)end);
@@ -417,6 +462,7 @@ char *halGetDna(int halHandle, char *speciesName, char *chromName,
         out = strdup(PyUnicode_AsUTF8(res));
         Py_DECREF(res);
     } while (0);
+    delete gil;
     pthread_mutex_unlock(&g_mutex);
     return out;
 }

@@ -18,6 +18,21 @@
 #include <string>
 #include <vector>
 
+// bounded non-negative integer parse: never reads past `end` (the buffer
+// may be an mmap'd file with no terminator)
+static inline int64_t parse_int_bounded(const char *p, const char *end) {
+    int64_t v = 0;
+    bool neg = false;
+    if (p < end && (*p == '-' || *p == '+')) {
+        neg = *p == '-';
+        ++p;
+    }
+    while (p < end && *p >= '0' && *p <= '9') {
+        v = v * 10 + (*p++ - '0');
+    }
+    return neg ? -v : v;
+}
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -25,6 +40,7 @@ extern "C" {
 // Chromosome names resolved against a caller-provided table of
 // NUL-separated names; returns number of records, or -1 on parse error,
 // -2 if out capacity too small. Unknown chromosomes get id -1.
+// Reads are bounded by len — no terminator byte is required.
 // ---------------------------------------------------------------------------
 int64_t ht_parse_bed3(const char *buf, int64_t len,
                       const char *names, const int64_t *name_offsets, int64_t n_names,
@@ -59,8 +75,8 @@ int64_t ht_parse_bed3(const char *buf, int64_t len,
             if (!strncmp(nm, p, cl) && nm[cl] == '\0') { id = i; last = i; break; }
         }
         chrom_id[n] = id;
-        starts[n] = strtoll(tab1 + 1, nullptr, 10);
-        ends[n] = strtoll(tab2 + 1, nullptr, 10);
+        starts[n] = parse_int_bounded(tab1 + 1, line_end);
+        ends[n] = parse_int_bounded(tab2 + 1, line_end);
         ++n;
         p = line_end + 1;
     }
@@ -79,6 +95,7 @@ int64_t ht_format_bed(const int64_t *chrom_id, const int64_t *starts,
     char *w = out;
     char *lim = out + cap;
     for (int64_t i = 0; i < n; ++i) {
+        if (chrom_id[i] < 0) return -1;  // unknown chrom from ht_parse_bed3
         const char *nm = names + name_offsets[chrom_id[i]];
         int need = snprintf(nullptr, 0, "%s\t%lld\t%lld", nm,
                             (long long)starts[i], (long long)ends[i]) + 16;

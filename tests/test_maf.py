@@ -131,32 +131,6 @@ def test_ref_coverage_complete():
     assert sorted(seen) == list(range(25))
 
 
-def test_max_ref_gap_insertion_columns():
-    """A's T3 (unaligned to Anc) must surface as an insertion block when
-    ref=Anc and maxRefGap >= 5 (reference handleInsertion,
-    halColumnIterator.cpp:382)."""
-    aln = three_genome_alignment()
-    scope, root = compute_scope(aln, "Anc")
-    frags = window_fragments(aln, "Anc", 0, 30, scope, root)
-
-    def export(gap):
-        slices = iter_slices(aln, "Anc", 0, 30, frags, max_ref_gap=gap)
-        b = MafBlockBuilder(aln, "Anc", ucsc_names=True)
-        blocks = list(b.feed(slices))
-        tail = b.flush_end()
-        return "\n".join(blocks + ([tail] if tail else []))
-
-    base = export(0)
-    assert "TAATA" not in base  # T3's bases absent without maxRefGap
-    got = export(10)
-    # the insertion renders as a ref gap with A's bases inline, and both
-    # rows continue through it (entry-continuation append rules)
-    assert "s\tAnc.Anc_seq\t10\t15\t+\t30\tGTGGT-----GGGGTCTGAC" in got
-    assert "s\tA.A_seq\t10\t15\t+\t25\tGTGGTTAATA-----CTGAC" in got
-    # too-small budget suppresses it again
-    assert export(4) == base
-
-
 def test_print_tree_blocks():
     """--printTree: 'a tree=...' headers with entry labels, s-lines in
     post-order, dupe ring members as siblings (reference
@@ -192,13 +166,13 @@ def test_gene_tree_shape_equality():
 
 def test_max_ref_gap_deletion_columns():
     """Deleted ancestral range surfaces as ref-gap columns when
-    maxRefGap covers it (reference ColumnIterator::handleDeletion,
-    halColumnIterator.cpp:357-381) — VERDICT next #8."""
+    maxRefGap covers it, spread down to the sibling (reference
+    ColumnIterator::handleDeletion, halColumnIterator.cpp:357-381)."""
     import numpy as np
 
     from hal_tpu.alignment import Alignment
     from hal_tpu.genome import GenomeArrays, SequenceInfo
-    from hal_tpu.ops.column import compute_scope, window_fragments, iter_slices
+    from hal_tpu.ops.column import iter_slices_exact
 
     aln = Alignment()
     aln.add_root_genome("Anc", [SequenceInfo("Anc_seq", 20, 0, 4)])
@@ -225,11 +199,8 @@ def test_max_ref_gap_deletion_columns():
     c.set_dna(0, np.concatenate([anc.get_dna(0, 10), anc.get_dna(15, 5)]))
     d.set_dna(0, anc.get_dna(0, 20))
 
-    scope, root = compute_scope(aln, "C")
-    frags = window_fragments(aln, "C", 0, 15, scope, root)
-
     def slices(gap):
-        return list(iter_slices(aln, "C", 0, 15, frags, max_ref_gap=gap))
+        return list(iter_slices_exact(aln, "C", 0, 15, max_ref_gap=gap))
 
     base = slices(0)
     assert all(s.lo != s.hi for s in base)
@@ -240,5 +211,167 @@ def test_max_ref_gap_deletion_columns():
     assert sl.lo == 10 and sl.width == 5
     keys = {(r.genome, r.tgt_lo, r.tgt_hi) for r in sl.rows}
     assert ("Anc", 10, 15) in keys and ("D", 10, 15) in keys
+    # emitted right after the run ending at the breakpoint, before the
+    # next ref run (stack drain order, halColumnIterator.cpp:122-126)
+    assert [s.lo == s.hi for s in got] == [False, False, True, False]
     # too-small budget suppresses it
     assert all(s.lo != s.hi for s in slices(4))
+
+
+# ------------------------------------------------- exact-path indel stacks
+
+def _export_exact(aln, ref, gs, ge, gap):
+    from hal_tpu.ops.column import iter_slices_exact
+
+    slices = iter_slices_exact(aln, ref, gs, ge, max_ref_gap=gap)
+    b = MafBlockBuilder(aln, ref, ucsc_names=True)
+    blocks = list(b.feed(slices))
+    tail = b.flush_end()
+    return "\n".join(blocks + ([tail] if tail else []))
+
+
+def _insertion_alignment():
+    """Clean insertion: A's T3 unaligned, flanked by T2->B2 and T4->B3
+    whose parents ARE adjacent — the one shape the reference's atomic
+    insertion cycle accepts (scanInsertionCycle case 2a,
+    halRearrangement.cpp:418-426)."""
+    from hal_tpu.alignment import Alignment
+    from hal_tpu.genome import GenomeArrays, SequenceInfo
+
+    aln = Alignment()
+    aln.add_root_genome("Anc", [SequenceInfo("Anc_seq", 20, 0, 4)])
+    aln.tree.add_child("Anc", "A", 0.1)
+    anc = aln.open_genome("Anc")
+    anc.bot_start[:-1] = np.arange(4) * 5
+    anc.bot_child = np.full((4, 1), -1, np.int64)
+    anc.bot_child_reversed = np.zeros((4, 1), np.uint8)
+    anc.bot_child[:, 0] = [0, 1, 2, 4]
+    a = GenomeArrays.create("A", [SequenceInfo("A_seq", 25, 5, 0)])
+    a.top_start[:-1] = np.arange(5) * 5
+    a.top_parent = np.array([0, 1, 2, -1, 3], np.int64)
+    aln.set_genome(a)
+    anc.set_dna(0, np.frombuffer(b"ACGTACGTACGTACGTACGT", np.uint8))
+    a.set_dna(0, np.frombuffer(b"ACGTACGTACGTACGTAATACGT..".replace(b".", b"G"),
+                               np.uint8))
+    return aln
+
+
+def test_exact_max_ref_gap_insertion():
+    """A's inserted T3 surfaces as ref-gap columns between ref positions
+    14 and 15 when the budget covers it (handleInsertion,
+    halColumnIterator.cpp:382-401)."""
+    from hal_tpu.ops.column import iter_slices_exact
+    from hal_tpu.ops.validate import validate_alignment
+
+    aln = _insertion_alignment()
+    validate_alignment(aln)
+    slices = list(iter_slices_exact(aln, "Anc", 0, 20, max_ref_gap=10))
+    ins = [s for s in slices if s.lo == s.hi]
+    assert len(ins) == 1
+    s = ins[0]
+    assert s.lo == 15 and s.width == 5
+    assert [(r.genome, r.tgt_lo, r.tgt_hi, r.rev) for r in s.rows] == [
+        ("A", 15, 20, False)]
+    # order: the insertion comes right after the run ending at ref 15
+    idx = slices.index(s)
+    assert slices[idx - 1].hi == 15
+    # budget gates it; rendering pads the ref row through the insertion
+    assert all(s2.lo != s2.hi
+               for s2 in iter_slices_exact(aln, "Anc", 0, 20, max_ref_gap=4))
+    # rendering: one block, ref row gapped through the insertion, A's row
+    # running straight through it (entry-continuation append rules)
+    got = _export_exact(aln, "Anc", 0, 20, 10)
+    assert "s\tAnc.Anc_seq\t0\t20\t+\t20\tACGTACGTACGTACG-----TACGT" in got
+    assert "s\tA.A_seq\t0\t25\t+\t25\tACGTACGTACGTACGTAATACGTGG" in got
+
+
+def test_exact_insertion_rejected_when_flank_deleted():
+    """three_genome_alignment's T3 sits between parents that are NOT
+    adjacent (B3 deleted): the reference's atomic insertion cycle rejects
+    it, so the exact path must emit no ref-gap columns (the legacy
+    fragment path over-approximates here, emitting it)."""
+    aln = three_genome_alignment()
+    slices = list(
+        __import__("hal_tpu.ops.column", fromlist=["iter_slices_exact"])
+        .iter_slices_exact(aln, "Anc", 0, 30, max_ref_gap=10))
+    assert all(s.lo != s.hi for s in slices)
+
+
+def _multigap_alignment():
+    """The reference's ColumnIteratorMultiGapTest topology
+    (api/tests/halColumnIteratorTest.cpp:543-637): adam(16) -> grandpa(12)
+    -> dad(8); grandpa's segment 2 maps to adam's segment 3 (adam seg 2
+    deleted), dad's segment 1 maps to grandpa's segment 2 (grandpa seg 1
+    deleted) — a deletion nested inside a deletion."""
+    from hal_tpu.alignment import Alignment
+    from hal_tpu.genome import GenomeArrays, SequenceInfo
+
+    aln = Alignment()
+    aln.add_root_genome("adam", [SequenceInfo("aseq", 16, 0, 4)])
+    aln.tree.add_child("adam", "grandpa", 0.1)
+    aln.tree.add_child("grandpa", "dad", 0.1)
+
+    adam = aln.open_genome("adam")
+    adam.bot_start[:-1] = np.arange(4) * 4
+    adam.bot_child = np.full((4, 1), -1, np.int64)
+    adam.bot_child_reversed = np.zeros((4, 1), np.uint8)
+    adam.bot_child[:, 0] = [0, 1, -1, 2]
+
+    gp = GenomeArrays.create("grandpa", [SequenceInfo("gseq", 12, 3, 3)],
+                             num_children=1)
+    gp.top_start[:-1] = np.arange(3) * 4
+    gp.top_parent = np.array([0, 1, 3], np.int64)
+    gp.bot_start[:-1] = np.arange(3) * 4
+    gp.bot_child[:, 0] = [0, -1, 1]
+    gp.bot_top_parse = np.array([0, 1, 2], np.int64)
+    gp.top_bottom_parse = np.array([0, 1, 2], np.int64)
+    aln.set_genome(gp)
+
+    dad = GenomeArrays.create("dad", [SequenceInfo("dseq", 8, 2, 0)])
+    dad.top_start[:-1] = np.arange(2) * 4
+    dad.top_parent = np.array([0, 2], np.int64)
+    aln.set_genome(dad)
+
+    adam.set_dna(0, np.frombuffer(b"ACGTAAAATTTTGGGG", np.uint8))
+    gp.set_dna(0, np.frombuffer(b"ACGTAAAAGGGG", np.uint8))
+    dad.set_dna(0, np.frombuffer(b"ACGTGGGG", np.uint8))
+    return aln
+
+
+def test_exact_nested_deletion_order():
+    """Nested deletion emission order must follow the reference's stack
+    drain: ref columns, grandpa's deleted range (spread up to adam), the
+    adam range deleted inside IT, then the remaining ref columns
+    (ColumnIteratorMultiGapTest expectations, toRight stack drain
+    halColumnIterator.cpp:122-126)."""
+    from hal_tpu.ops.column import iter_slices_exact
+    from hal_tpu.ops.validate import validate_alignment
+
+    aln = _multigap_alignment()
+    validate_alignment(aln)
+    slices = list(iter_slices_exact(aln, "dad", 0, 8, max_ref_gap=1000))
+    # [dad 0-4 columns, grandpa-del (grandpa+adam), adam-del (adam only),
+    #  dad 4-8 columns]
+    kinds = [(s.lo == s.hi, sorted({r.genome for r in s.rows})) for s in slices]
+    assert kinds[0] == (False, ["adam", "dad", "grandpa"])
+    assert kinds[1] == (True, ["adam", "grandpa"])
+    assert kinds[2] == (True, ["adam"])
+    assert kinds[3] == (False, ["adam", "dad", "grandpa"])
+    assert [s.width for s in slices] == [4, 4, 4, 4]
+    # coordinates of the deleted ranges
+    g_rows = {r.genome: (r.tgt_lo, r.tgt_hi) for r in slices[1].rows}
+    assert g_rows["grandpa"] == (4, 8) and g_rows["adam"] == (4, 8)
+    a_rows = {r.genome: (r.tgt_lo, r.tgt_hi) for r in slices[2].rows}
+    assert a_rows["adam"] == (8, 12)
+    # no budget -> plain columns only
+    plain = list(iter_slices_exact(aln, "dad", 0, 8, max_ref_gap=0))
+    assert all(s.lo != s.hi for s in plain)
+    # budget 4 still admits the nested deletion: each entry lands on a
+    # fresh indel stack whose first push gets cumulativeSize 0
+    # (ColumnIteratorStack::push, halColumnIteratorStack.h:113-121), so
+    # the nested check is 4 + 0 <= 4
+    four = list(iter_slices_exact(aln, "dad", 0, 8, max_ref_gap=4))
+    assert [(s.lo == s.hi) for s in four] == [False, True, True, False]
+    # budget 3 rejects the first-level deletion outright
+    three = list(iter_slices_exact(aln, "dad", 0, 8, max_ref_gap=3))
+    assert all(s.lo != s.hi for s in three)

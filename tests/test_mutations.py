@@ -78,3 +78,122 @@ def test_branch_mutations_cli(tmp_path):
         toks = line.split("\t")
         assert toks[3].startswith("S_")
         assert toks[5] == child  # parent/child genome columns (halBranchMutations.cpp:147)
+
+
+# ---------------- ported reference scenarios (halRearrangementTest.cpp) ----
+
+def _identical_parent_child(num_seqs=3, segs=10, seg_len=50, seed=3):
+    """addIdenticalParentChild (api/tests/halSegmentTestSupport.h:124-153):
+    parent/child with identical dimensions, segment i of the child mapped
+    forward onto bottom i of the parent."""
+    from hal_tpu.alignment import Alignment
+    from hal_tpu.genome import GenomeArrays, SequenceInfo
+
+    aln = Alignment()
+    infos_p = [SequenceInfo("Sequence%d" % i, seg_len * segs, 0, segs)
+               for i in range(num_seqs)]
+    aln.add_root_genome("parent", infos_p)
+    aln.tree.add_child("parent", "child", 1.0)
+    parent = aln.open_genome("parent")
+    n = num_seqs * segs
+    parent.bot_start[:-1] = np.arange(n) * seg_len
+    parent.bot_child = np.arange(n, dtype=np.int64).reshape(n, 1)
+    parent.bot_child_reversed = np.zeros((n, 1), np.uint8)
+    infos_c = [SequenceInfo("Sequence%d" % i, seg_len * segs, segs, 0)
+               for i in range(num_seqs)]
+    child = GenomeArrays.create("child", infos_c)
+    child.top_start[:-1] = np.arange(n) * seg_len
+    child.top_parent = np.arange(n, dtype=np.int64)
+    aln.set_genome(child)
+    rng = np.random.default_rng(seed)
+    DNA = np.frombuffer(b"ACGT", np.uint8)
+    dna = DNA[rng.integers(0, 4, num_seqs * segs * seg_len)]
+    parent.set_dna(0, dna)
+    child.set_dna(0, dna.copy())
+    return aln
+
+
+def test_rearrangement_insertion_scenario():
+    """RearrangementInsertionTest (halRearrangementTest.cpp:17-69):
+    makeInsertion at bottom 1 leaves child top 1 unparented (Insertion) and
+    parent bottom 2 childless (Deletion next door); staggered inversions on
+    every other aligned segment must not produce spurious I/D."""
+    aln = _identical_parent_child(3, 10, 50)
+    parent = aln.open_genome("parent")
+    child = aln.open_genome("child")
+    # makeInsertion(bi at index 1) — halSegmentTestSupport.h:157-170
+    child.top_parent[1] = -1
+    child.top_parent[2] = 1
+    parent.bot_child[1, 0] = 2
+    parent.bot_child[2, 0] = -1
+    # stagger inversions over bottoms that still have a child
+    count = 0
+    for b in range(parent.num_bottom_segments):
+        ci = int(parent.bot_child[b, 0])
+        if ci >= 0:
+            parent.bot_child_reversed[b, 0] = count % 2
+            child.top_parent_reversed[ci] = count % 2
+            count += 1
+    from hal_tpu.ops.validate import validate_alignment
+    validate_alignment(aln)
+    res = analyze_branch(aln, "child", gap_threshold=10)
+    ins = [e for e in res.events if e.kind == "I"]
+    assert [(e.child_lo, e.child_hi) for e in ins] == [(50, 100)]
+    dels = [e for e in res.events if e.kind == "D"]
+    assert [(e.parent_lo, e.parent_hi) for e in dels] == [(100, 150)]
+
+
+def test_rearrangement_simple_inversion_scenario():
+    """RearrangementSimpleInversionTest (halRearrangementTest.cpp:71-123):
+    single-segment inversions at tops 1, 9 (sequence end) and 20 (sequence
+    start) are each an Inversion; nothing else is."""
+    aln = _identical_parent_child(3, 10, 50)
+    parent = aln.open_genome("parent")
+    child = aln.open_genome("child")
+    for i in (1, 9, 20):
+        parent.bot_child_reversed[i, 0] = 1
+        child.top_parent_reversed[i] = 1
+    from hal_tpu.ops.validate import validate_alignment
+    validate_alignment(aln)
+    res = analyze_branch(aln, "child", gap_threshold=10)
+    inv = sorted((e.child_lo, e.child_hi) for e in res.events if e.kind == "V")
+    assert inv == [(50, 100), (450, 500), (1000, 1050)]
+    assert not any(e.kind in ("I", "D") for e in res.events)
+
+
+def test_rearrangement_gapped_inversion_scenario():
+    """RearrangementGappedInversionTest (halRearrangementTest.cpp:124-196):
+    a 4-segment inversion with gap-insertions at child tops 3 and 5 and
+    gap-deletions at parent bottoms 2 and 5 must chain into ONE gapped
+    Inversion spanning child [5, 35) — including the junction carrying a
+    gap-insertion AND a gap-deletion simultaneously."""
+    aln = _identical_parent_child(3, 10, 5)
+    parent = aln.open_genome("parent")
+    child = aln.open_genome("child")
+    wiring = {  # top -> (parent_index, reversed)
+        1: (6, 1), 2: (4, 1), 3: (-1, 0), 4: (3, 1), 5: (-1, 0), 6: (1, 1)}
+    for t, (p, r) in wiring.items():
+        child.top_parent[t] = p
+        child.top_parent_reversed[t] = r
+    for b in range(1, 7):
+        parent.bot_child[b, 0] = -1
+    for t, (p, r) in wiring.items():
+        if p >= 0:
+            parent.bot_child[p, 0] = t
+            parent.bot_child_reversed[p, 0] = r
+    from hal_tpu.ops.validate import validate_alignment
+    validate_alignment(aln)
+    res = analyze_branch(aln, "child", gap_threshold=10)
+    inv = [(e.child_lo, e.child_hi) for e in res.events if e.kind == "V"]
+    assert inv == [(5, 35)]
+    # the two child gap-insertions and two parent gap-deletions surface as
+    # gap events, not as I/D
+    gi = sorted((e.child_lo, e.child_hi) for e in res.events if e.kind == "GI")
+    assert gi == [(15, 20), (25, 30)]
+    gd = sorted((e.parent_lo, e.parent_hi) for e in res.events if e.kind == "GD")
+    assert gd == [(10, 15), (25, 30)]
+    # the reference asserts only "Inversion at leftIdx 1, nowhere else";
+    # I/D must not appear (the flanking breakpoints classify as Complex)
+    assert not any(e.kind in ("I", "D") for e in res.events)
+    assert all((e.child_lo + e.child_hi) // 2 in (5, 35)
+               for e in res.events if e.kind == "O")

@@ -1,0 +1,76 @@
+"""ASan/UBSan coverage for native/ — the reference CI runs its whole suite
+under AddressSanitizer (reference .travis.yml:24-30); these tests build the
+sanitized runtime library and drive it (plus the blockViz C ABI free
+contract) from ASan-instrumented C programs with leak detection on."""
+
+import os
+import shutil
+import subprocess
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+NATIVE = os.path.join(REPO, "native")
+
+pytestmark = pytest.mark.skipif(
+    shutil.which("gcc") is None or shutil.which("make") is None,
+    reason="no C toolchain")
+
+
+def _asan_available():
+    probe = "int main(){return 0;}"
+    r = subprocess.run(["gcc", "-fsanitize=address", "-x", "c", "-", "-o",
+                        "/dev/null"], input=probe.encode(),
+                       capture_output=True)
+    return r.returncode == 0
+
+
+@pytest.fixture(scope="module")
+def asan_lib():
+    if not _asan_available():
+        pytest.skip("libasan not available")
+    r = subprocess.run(["make", "-C", NATIVE, "asan"], capture_output=True)
+    assert r.returncode == 0, r.stderr.decode()[-1000:]
+    return os.path.join(NATIVE, "libhaltpu_asan.so")
+
+
+def _run_driver(exe, *args):
+    env = dict(os.environ)
+    env["ASAN_OPTIONS"] = "detect_leaks=1:abort_on_error=1"
+    env["UBSAN_OPTIONS"] = "halt_on_error=1"
+    return subprocess.run([str(exe)] + list(args), capture_output=True,
+                          env=env, timeout=300)
+
+
+def test_haltpu_suite_under_asan(asan_lib, tmp_path):
+    """Every libhaltpu entry point, valid + malformed inputs, exact-length
+    heap buffers (no terminator) — any OOB read/write, leak, or UB fails."""
+    src = os.path.join(NATIVE, "tests", "haltpu_asan_test.c")
+    exe = tmp_path / "haltpu_asan_test"
+    subprocess.run(["gcc", "-O1", "-g", "-fsanitize=address,undefined",
+                    "-o", str(exe), src, "-ldl"], check=True)
+    r = _run_driver(exe, asan_lib)
+    assert r.returncode == 0, (r.stdout + r.stderr).decode()[-2000:]
+    assert b"OK" in r.stdout
+
+
+def test_blockviz_free_contract_under_asan(tmp_path):
+    """halFreeBlockResults/halFreeBlocks/halFreeTargetDupeLists/
+    halFreeSpeciesList must free every node and string exactly once
+    (halFreeBlockResults contract, reference halBlockViz.cpp:195-241);
+    the ASan-instrumented driver's interposed allocator verifies it."""
+    if not _asan_available():
+        pytest.skip("libasan not available")
+    lib = os.path.join(NATIVE, "libhalblockviz.so")
+    if not os.path.exists(lib):
+        r = subprocess.run(["make", "-C", NATIVE, "libhalblockviz.so"],
+                           capture_output=True)
+        if r.returncode != 0:
+            pytest.skip("cannot build libhalblockviz.so")
+    src = os.path.join(NATIVE, "tests", "blockviz_free_test.c")
+    exe = tmp_path / "blockviz_free_test"
+    subprocess.run(["gcc", "-O1", "-g", "-fsanitize=address",
+                    "-o", str(exe), src, "-ldl"], check=True)
+    r = _run_driver(exe, lib)
+    assert r.returncode == 0, (r.stdout + r.stderr).decode()[-2000:]
+    assert b"OK" in r.stdout

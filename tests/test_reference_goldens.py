@@ -124,6 +124,37 @@ def test_hal2maf_goldens(small_hal, tmp_path, golden, flags):
     assert out.read_bytes() == _golden(REF + "/maf/tests/expected/" + golden)
 
 
+def test_hal2maf_global_unique_coverage(small_hal, tmp_path):
+    """--global must emit every leaf base exactly once across the whole
+    output (convertEntireAlignment's shared visit cache,
+    maf/impl/halMafExport.cpp:90-160)."""
+    from hal_tpu.storage import open_alignment
+
+    out = tmp_path / "g.maf"
+    run_tool(["hal_tpu.tools.hal2maf", "--global", small_hal, str(out)])
+    seen = {}
+    for line in out.read_text().splitlines():
+        if not line.startswith("s\t"):
+            continue
+        _, src, start, size, strand, srclen, _ = line.split("\t")
+        gname = src.split(".")[0]
+        start, size, srclen = int(start), int(size), int(srclen)
+        if strand == "-":
+            start = srclen - start - size
+        iv = seen.setdefault(src, set())
+        rng = set(range(start, start + size))
+        assert not (iv & rng), f"duplicate positions in {src}"
+        iv |= rng
+    aln = open_alignment(small_hal)
+    for name in aln.genome_names():
+        if not aln.tree.is_leaf(name):
+            continue
+        g = aln.open_genome(name)
+        total = sum(len(v) for s, v in seen.items()
+                    if s.split(".")[0] == name)
+        assert total == g.length, f"{name}: {total} != {g.length}"
+
+
 def test_hal2mafMP_by_sequence(small_hal, tmp_path):
     """hal2mafMP.py --sliceSize=250 --splitBySequence (maf/Makefile:64-66)."""
     out = tmp_path / "t.maf"
