@@ -7,8 +7,7 @@ import sys
 import tempfile
 
 from hal_tpu.parallel.mp import get_hal_genome_length, get_hal_sequences, run_parallel_shell_commands
-from hal_tpu.tools import HalError, make_parser, tool_main
-from hal_tpu.tools.halPhyloP import phast_available
+from hal_tpu.tools import make_parser, tool_main
 
 
 def run(argv=None):
@@ -21,8 +20,6 @@ def run(argv=None):
     p.add_argument("--sliceSize", type=int, default=None)
     p.add_argument("--refSequence", default="")
     o = p.parse_args(argv)
-    if not phast_available():
-        raise HalError("halPhyloPMP requires the phast package (see halPhyloP)")
     tmpdir = tempfile.mkdtemp(prefix="halPhyloPMP_")
     seqs = [o.refSequence] if o.refSequence else get_hal_sequences(o.halFile, o.refGenome)
     cmds, parts = [], []

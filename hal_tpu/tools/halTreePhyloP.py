@@ -7,8 +7,7 @@ import os
 import sys
 
 from hal_tpu.parallel.mp import get_hal_genomes, get_hal_child_names, run_parallel_shell_commands
-from hal_tpu.tools import HalError, make_parser, tool_main
-from hal_tpu.tools.halPhyloP import phast_available
+from hal_tpu.tools import make_parser, tool_main
 
 
 def run(argv=None):
@@ -19,8 +18,6 @@ def run(argv=None):
     p.add_argument("--numProc", type=int, default=1)
     p.add_argument("--subtree", default="")
     o = p.parse_args(argv)
-    if not phast_available():
-        raise HalError("halTreePhyloP requires the phast package (see halPhyloP)")
     os.makedirs(o.outDir, exist_ok=True)
     leaves = [g for g in get_hal_genomes(o.hal)
               if not get_hal_child_names(o.hal, g)]
