@@ -168,3 +168,48 @@ def test_scorer_prunes_missing_species(tmp_path):
     assert scorer2.species == ["A", "B"]
     s2 = scorer2.score_window("Anc", 0, 30)
     assert not np.allclose(s2, 0.0)
+
+
+REF = "/root/reference"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="no reference checkout")
+def test_parse_shipped_mammals_mod():
+    """The reference ships a real phyloFit model (testdata/mammals.mod,
+    SSREV — strand-symmetric REV, still time-reversible): the parser and
+    the eigendecomposition must handle it."""
+    mod = NeutralModel.from_mod_file(REF + "/testdata/mammals.mod")
+    leaves = [n for n in mod.tree.names() if mod.tree.is_leaf(n)]
+    assert sorted(leaves) == ["cow", "human", "mouse", "pig", "rat"]
+    np.testing.assert_allclose(mod.rate_matrix.sum(1), 0, atol=1e-5)
+    # detailed balance (reversibility) holds for SSREV
+    F = mod.background[:, None] * mod.rate_matrix
+    np.testing.assert_allclose(F, F.T, atol=1e-5)
+    # the shipped matrix's rows sum to ~1e-6, not 0 (phyloFit rounding);
+    # row sums of P inherit that tolerance
+    P = mod.pmatrix(np.array([0.01, 0.12, 1.0]))
+    np.testing.assert_allclose(P.sum(-1), 1.0, atol=1e-5)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="no reference checkout")
+def test_score_real_mouse_rat_alignment(tmp_path):
+    """End-to-end on REAL data: the cactus-produced mr.hal with the
+    mammals.mod rate matrix re-treed to the alignment's genome names.
+    Scores must be finite, bounded, and show real signal (both conserved
+    and non-conserved columns)."""
+    from hal_tpu.storage import open_alignment
+
+    mam = open(REF + "/testdata/mammals.mod").read()
+    rate = mam[mam.index("RATE_MAT:"):mam.index("TREE:")]
+    bg = mam[mam.index("BACKGROUND:"):mam.index("RATE_MAT:")]
+    p = tmp_path / "mr.mod"
+    p.write_text("ALPHABET: A C G T \nORDER: 0\nSUBST_MOD: SSREV\n"
+                 + bg + rate +
+                 "TREE: (simMouse_chr6:0.084509,simRat_chr6:0.091589)mr;\n")
+    aln = open_alignment(REF + "/paf/tests/input/mr.hal")
+    scorer = PhyloPScorer(aln, NeutralModel.from_mod_file(str(p)))
+    s = scorer.score_window("simMouse_chr6", 10000, 20000)
+    assert s.shape == (10000,) and np.isfinite(s).all()
+    assert np.abs(s).max() <= 20.0 + 1e-9
+    assert (s > 0).sum() > 100        # conserved columns exist
+    assert (s == 0).sum() < 10000     # and most columns carry signal
