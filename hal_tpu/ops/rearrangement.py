@@ -48,8 +48,23 @@ class Event:
 
 
 @dataclass
+class GappedRun:
+    """One gapped segment: a maximal chain of matched top segments
+    (the reference's GappedTopSegmentIterator equivalence,
+    api/impl/halGappedTopSegmentIterator.cpp)."""
+
+    t_first: int   # first/last top segment array index
+    t_last: int
+    p_min: int     # parent bottom index range touched
+    p_max: int
+    rev: bool
+    canon: bool
+
+
+@dataclass
 class BranchAnalysis:
     events: list = field(default_factory=list)
+    runs: list = field(default_factory=list)  # [GappedRun] in child order
     subs: int = 0
     transitions: int = 0
     transversions: int = 0
@@ -194,6 +209,13 @@ def analyze_branch(aln: Alignment, child: str,
     run_p_max = np.maximum(pg.bot_start[p_idx[run_first] + 1], pg.bot_start[p_idx[run_last] + 1])
     run_t_seq = t_seq[run_first]
     run_p_seq = p_seq[run_first]
+
+    for ri in range(n_runs):
+        out.runs.append(GappedRun(
+            int(t_idx[run_first[ri]]), int(t_idx[run_last[ri]]),
+            int(min(p_idx[run_first[ri]], p_idx[run_last[ri]])),
+            int(max(p_idx[run_first[ri]], p_idx[run_last[ri]])),
+            bool(run_rev[ri]), bool(run_canon[ri])))
 
     def missing(lo, hi):
         return _n_fraction(g, int(lo), int(hi)) >= n_threshold

@@ -197,3 +197,68 @@ def test_rearrangement_gapped_inversion_scenario():
     assert not any(e.kind in ("I", "D") for e in res.events)
     assert all((e.child_lo + e.child_hi) // 2 in (5, 35)
                for e in res.events if e.kind == "O")
+
+
+def test_gapped_iterator_simple_scenario():
+    """GappedSegmentSimpleIteratorTest (halGappedSegmentIteratorTest.cpp:
+    17-101): alternating orientations break chaining even with an
+    unbounded gap threshold — every gapped segment is a single atomic
+    segment, in order."""
+    aln = _identical_parent_child(2, 100, 5)
+    parent = aln.open_genome("parent")
+    child = aln.open_genome("child")
+    for i in range(1, 200, 2):
+        parent.bot_child_reversed[i, 0] = 1
+        child.top_parent_reversed[i] = 1
+    res = analyze_branch(aln, "child", gap_threshold=9999999, do_subs=False)
+    assert [(r.t_first, r.t_last) for r in res.runs] == \
+        [(i, i) for i in range(200)]
+    assert [r.rev for r in res.runs] == [bool(i % 2) for i in range(200)]
+
+
+def _make_del_gap(parent, child, b):
+    """makeDelGap (halSegmentTestSupport.h:201-242): delete parent bottom b
+    from the alignment by shifting all child/parent links right of it."""
+    n = child.num_top_segments
+    old_parent = child.top_parent.copy()
+    start_top = int(parent.bot_child[b, 0])
+    for i in range(start_top, n):
+        if old_parent[i] == parent.num_bottom_segments - 1:
+            child.top_parent[i] = -1
+        elif i + 1 < n:
+            child.top_parent[i] = old_parent[i + 1]
+    old_child = parent.bot_child[:, 0].copy()
+    parent.bot_child[b, 0] = -1
+    for j in range(b + 1, parent.num_bottom_segments):
+        parent.bot_child[j, 0] = old_child[j - 1]
+
+
+def test_gapped_iterator_indel_scenario():
+    """GappedSegmentIteratorIndelTest (halGappedSegmentIteratorTest.cpp:
+    216-341): two gap deletions (parent bottoms 0 and 3) chain into ONE
+    gapped segment spanning every matched top when the threshold is
+    unbounded, and split at the interior deletion when it is 0."""
+    aln = _identical_parent_child(1, 20, 5)
+    parent = aln.open_genome("parent")
+    child = aln.open_genome("child")
+    _make_del_gap(parent, child, 0)
+    _make_del_gap(parent, child, 3)
+    from hal_tpu.ops.validate import validate_alignment
+    validate_alignment(aln)
+    # resulting wiring: top i -> bot i+1 (i<2), top i -> bot i+2 (2<=i<=17),
+    # tops 18/19 unaligned; bottoms 0 and 3 childless
+    assert child.top_parent[0] == 1 and child.top_parent[2] == 4
+    assert child.top_parent[17] == 19
+    assert child.top_parent[18] == -1 and child.top_parent[19] == -1
+    res = analyze_branch(aln, "child", gap_threshold=9999999, do_subs=False)
+    assert [(r.t_first, r.t_last, r.p_min, r.p_max) for r in res.runs] == \
+        [(0, 17, 1, 19)]
+    # the deleted bottom 3 surfaces as a gap-deletion event inside the run
+    assert any(e.kind == "GD" and (e.parent_lo, e.parent_hi) == (15, 20)
+               for e in res.events)
+    # threshold 0: the run splits exactly at the interior deletion
+    res0 = analyze_branch(aln, "child", gap_threshold=0, do_subs=False)
+    assert [(r.t_first, r.t_last) for r in res0.runs] == [(0, 1), (2, 17)]
+    # the trailing unaligned tops surface as an insertion event
+    assert any(e.kind == "I" and (e.child_lo, e.child_hi) == (90, 100)
+               for e in res0.events)
