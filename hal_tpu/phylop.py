@@ -99,12 +99,18 @@ class NeutralModel:
 
 def column_log_likelihood(model: NeutralModel, leaf_idx: dict,
                           patterns: np.ndarray,
-                          scale: np.ndarray) -> np.ndarray:
+                          scale: np.ndarray,
+                          sub_nodes: frozenset | None = None,
+                          sub_scale=None) -> np.ndarray:
     """Felsenstein pruning, vectorized: patterns (npat, nleaf) of base
     codes 0..3 (4 = N/missing), scale (npat,) branch multipliers.
-    Returns (npat,) log-likelihoods."""
+    Branches of nodes in sub_nodes get an extra sub_scale factor (the
+    phast subtree model's second parameter).  Returns (npat,)
+    log-likelihoods."""
     npat = patterns.shape[0]
     scale = np.broadcast_to(np.asarray(scale, float), (npat,))
+    if sub_nodes:
+        sub_scale = np.broadcast_to(np.asarray(sub_scale, float), (npat,))
     partial = {}
     logscale = np.zeros(npat)
     for name in model.tree.postorder():
@@ -119,7 +125,10 @@ def column_log_likelihood(model: NeutralModel, leaf_idx: dict,
             continue
         L = np.ones((npat, 4))
         for c in kids:
-            P = model.pmatrix(model.branch_length[c] * scale)  # (npat,4,4)
+            t = model.branch_length[c] * scale
+            if sub_nodes and c in sub_nodes:
+                t = t * sub_scale
+            P = model.pmatrix(t)  # (npat,4,4)
             L = L * np.einsum("pij,pj->pi", P, partial.pop(c))
         # renormalize to avoid underflow on deep trees
         mx = L.max(axis=1)
@@ -131,11 +140,15 @@ def column_log_likelihood(model: NeutralModel, leaf_idx: dict,
     return np.log(np.clip(root @ model.background, 1e-300, None)) + logscale
 
 
-def _fit_scale(model, leaf_idx, patterns, lo, hi, iters=50):
+def _fit_scale(model, leaf_idx, patterns, lo, hi, iters=50, fn=None):
     """Golden-section maximization of the column log-likelihood over the
     branch-scale parameter, per pattern (vectorized across patterns;
     phast's opt_newton_1d equivalent — the column lnl is unimodal in the
-    scale).  Interval shrinks by 0.618/iter: 50 iters ≈ 1e-10 * (hi-lo)."""
+    scale).  Interval shrinks by 0.618/iter: 50 iters ≈ 1e-10 * (hi-lo).
+    fn overrides the objective (used by the subtree coordinate fits)."""
+    if fn is None:
+        def fn(s):
+            return column_log_likelihood(model, leaf_idx, patterns, s)
     npat = patterns.shape[0]
     invphi = (math.sqrt(5.0) - 1) / 2
     a = np.full(npat, float(lo))
@@ -143,34 +156,78 @@ def _fit_scale(model, leaf_idx, patterns, lo, hi, iters=50):
     for _ in range(iters):
         c = b - invphi * (b - a)
         d = a + invphi * (b - a)
-        fc = column_log_likelihood(model, leaf_idx, patterns, c)
-        fd = column_log_likelihood(model, leaf_idx, patterns, d)
+        fc = fn(c)
+        fd = fn(d)
         left = fc > fd  # max in [a, d] -> drop (d, b]; else drop [a, c)
         b = np.where(left, d, b)
         a = np.where(left, a, c)
     s = (a + b) / 2
-    return s, column_log_likelihood(model, leaf_idx, patterns, s)
+    return s, fn(s)
+
+
+def _fit_subtree(model, leaf_idx, patterns, sub_nodes, mode, iters=4):
+    """Alternating 1-D fits of (whole-tree scale, subtree scale) — the
+    phast subtree alternative model (opt_bfgs over 2 params,
+    halPhyloP.cpp:305-312).  The subtree scale is bounded per mode."""
+    npat = patterns.shape[0]
+    s_lo, s_hi = SCALE_LO, SCALE_HI
+    if mode == "CON":
+        s_hi = 1.0
+    elif mode == "ACC":
+        s_lo = 1.0
+    scale = np.ones(npat)
+    sub = np.ones(npat)
+    lnl = None
+    for _ in range(iters):
+        scale, lnl = _fit_scale(
+            model, leaf_idx, patterns, SCALE_LO, SCALE_HI,
+            fn=lambda s: column_log_likelihood(model, leaf_idx, patterns, s,
+                                               sub_nodes, sub))
+        sub, lnl = _fit_scale(
+            model, leaf_idx, patterns, s_lo, s_hi,
+            fn=lambda s: column_log_likelihood(model, leaf_idx, patterns,
+                                               scale, sub_nodes, s))
+    return scale, sub, lnl
 
 
 def score_patterns(model: NeutralModel, leaf_idx: dict,
-                   patterns: np.ndarray, mode: str = "CONACC") -> np.ndarray:
+                   patterns: np.ndarray, mode: str = "CONACC",
+                   sub_nodes: frozenset | None = None) -> np.ndarray:
     """phyloP LRT scores for base-code patterns (npat, nleaf).
 
     Follows PhyloP::pval (halPhyloP.cpp:282-346): null lnl at scale 1,
     alternative maximizes over scale (bounded per mode), p from the
     chi^2_1 upper tail (CON/ACC: 50:50 mixture), score = -log10(p) with
-    CONACC acceleration marked negative."""
+    CONACC acceleration marked negative.
+
+    With sub_nodes (the --subtree branches): null fits the whole-tree
+    scale alone; the alternative adds a second, mode-bounded scale on the
+    subtree branches, and the sign follows the SUBTREE scale
+    (halPhyloP.cpp:296-339)."""
     npat = patterns.shape[0]
     if npat == 0:
         return np.zeros(0)
-    null_lnl = column_log_likelihood(model, leaf_idx, patterns,
-                                     np.ones(npat))
-    lo, hi = SCALE_LO, SCALE_HI
-    if mode == "CON":
-        hi = 1.0
-    elif mode == "ACC":
-        lo = 1.0
-    scale, alt_lnl = _fit_scale(model, leaf_idx, patterns, lo, hi)
+    if sub_nodes:
+        _, null_lnl = _fit_scale(model, leaf_idx, patterns,
+                                 SCALE_LO, SCALE_HI)
+        _, sign_scale, alt_lnl = _fit_subtree(model, leaf_idx, patterns,
+                                              sub_nodes, mode)
+        # columns with data only inside or only outside the subtree carry
+        # no contrast (col_has_data_sub, halPhyloP.cpp:297-301)
+        inside_cols = [leaf_idx[n] for n in leaf_idx if n in sub_nodes]
+        outside_cols = [leaf_idx[n] for n in leaf_idx if n not in sub_nodes]
+        informative = ((patterns[:, inside_cols] < 4).any(axis=1) &
+                       (patterns[:, outside_cols] < 4).any(axis=1))
+    else:
+        null_lnl = column_log_likelihood(model, leaf_idx, patterns,
+                                         np.ones(npat))
+        lo, hi = SCALE_LO, SCALE_HI
+        if mode == "CON":
+            hi = 1.0
+        elif mode == "ACC":
+            lo = 1.0
+        sign_scale, alt_lnl = _fit_scale(model, leaf_idx, patterns, lo, hi)
+        informative = (patterns < 4).sum(axis=1) > 0
     delta = np.maximum(alt_lnl - null_lnl, 0.0)
     x = 2.0 * delta
     sf = np.array([math.erfc(math.sqrt(v / 2.0)) for v in x])
@@ -182,9 +239,7 @@ def score_patterns(model: NeutralModel, leaf_idx: dict,
     pval = np.maximum(pval, 1e-20)
     score = -np.log10(pval)
     if mode == "CONACC":
-        score = np.where(scale > 1.0, -score, score)
-    # all-missing columns carry no information: score 0
-    informative = (patterns < 4).sum(axis=1) > 0
+        score = np.where(sign_scale > 1.0, -score, score)
     return np.where(informative, score, 0.0)
 
 
@@ -193,7 +248,8 @@ class PhyloPScorer:
     dup masking, pattern dedup, vectorized LRT."""
 
     def __init__(self, aln, mod: NeutralModel, mode: str = "CONACC",
-                 dup_mask: str = "soft", dup_type: str = "ambiguous"):
+                 dup_mask: str = "soft", dup_type: str = "ambiguous",
+                 subtree: str | None = None):
         if mode not in ("CONACC", "CON", "ACC", "NNEUT"):
             raise ValueError("unknown phyloP mode " + mode)
         if dup_type not in ("all", "ambiguous"):
@@ -241,6 +297,13 @@ class PhyloPScorer:
             mod = pruned
             self.mod = mod
         self.leaf_idx = {n: i for i, n in enumerate(self.species)}
+        # --subtree: a second scale on the branches under (and including)
+        # the named node (halPhyloP.cpp:110-126 subtree_root + partition)
+        self.sub_nodes: frozenset | None = None
+        if subtree:
+            if subtree not in self.mod.tree:
+                raise ValueError("no node named " + subtree)
+            self.sub_nodes = frozenset(self.mod.tree.preorder(subtree))
         self._cache: dict = {}
 
     def score_window(self, ref: str, gs: int, ge: int) -> np.ndarray:
@@ -285,7 +348,8 @@ class PhyloPScorer:
         new = [i for i, k in enumerate(keys) if k not in self._cache]
         if new:
             vals = score_patterns(self.mod, self.leaf_idx,
-                                  pats[new].astype(np.int64), self.mode)
+                                  pats[new].astype(np.int64), self.mode,
+                                  sub_nodes=self.sub_nodes)
             for j, i in enumerate(new):
                 self._cache[keys[i]] = float(vals[j])
         out = np.array([self._cache[k] for k in keys])[inv]

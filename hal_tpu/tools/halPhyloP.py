@@ -35,6 +35,9 @@ def run(argv=None):
     p.add_argument("--step", type=int, default=1)
     p.add_argument("--mode", choices=["CONACC", "CON", "ACC", "NNEUT"],
                    default="CONACC")
+    p.add_argument("--subtree", default="",
+                   help="score lineage-specific rate changes on this node's "
+                        "subtree (second scale parameter)")
     p.add_argument("--prec", type=int, default=3,
                    help="wiggle score decimal precision")
     add_storage_options(p)
@@ -45,7 +48,7 @@ def run(argv=None):
     aln = open_alignment(o.halPath)
     mod = NeutralModel.from_mod_file(o.modFile)
     scorer = PhyloPScorer(aln, mod, mode=o.mode, dup_mask=o.dupMask,
-                          dup_type=o.dupType)
+                          dup_type=o.dupType, subtree=o.subtree or None)
     g = aln.open_genome(o.refGenome)
     out = sys.stdout if o.wigFile in ("stdout", "-") else open(o.wigFile, "w")
 

@@ -213,3 +213,33 @@ def test_score_real_mouse_rat_alignment(tmp_path):
     assert np.abs(s).max() <= 20.0 + 1e-9
     assert (s > 0).sum() > 100        # conserved columns exist
     assert (s == 0).sum() < 10000     # and most columns carry signal
+
+
+def test_subtree_mode(tmp_path):
+    """--subtree: a second scale on the named node's branches; a column
+    conserved inside the subtree but neutral outside scores positive,
+    a column diverged ONLY inside scores negative under CONACC
+    (halPhyloP.cpp:296-339, col_has_data_sub guard)."""
+    bg = np.full(4, 0.25)
+    Q = _gtr(bg, s_ts=1.0)
+    p = tmp_path / "m.mod"
+    p.write_text(_mod_text(
+        bg, Q, "((L1:0.5,L2:0.5)I1:0.3,(L3:0.5,L4:0.5)I2:0.3)R;"))
+    mod = NeutralModel.from_mod_file(p)
+    idx = {"L1": 0, "L2": 1, "L3": 2, "L4": 3}
+    sub = frozenset(mod.tree.preorder("I1"))  # L1+L2 lineage
+    assert {"I1", "L1", "L2"} == set(sub)
+    pats = np.array([
+        [0, 0, 1, 2],   # identical inside I1, diverged outside
+        [0, 1, 3, 3],   # diverged inside, identical outside
+        [0, 1, 4, 4],   # no data outside the subtree -> no contrast
+        [4, 4, 0, 1],   # no data inside -> no contrast
+    ])
+    s = score_patterns(mod, idx, pats, "CONACC", sub_nodes=sub)
+    assert s[0] > 0      # subtree-specific conservation
+    assert s[1] < 0      # subtree-specific acceleration
+    assert s[2] == 0.0 and s[3] == 0.0
+    # whole-tree scoring treats pattern 0 and 1 symmetrically-ish: both
+    # have 3 distinct bases; subtree scoring separates them by lineage
+    s_whole = score_patterns(mod, idx, pats, "CONACC")
+    assert not np.allclose(s[:2], s_whole[:2])
