@@ -26,10 +26,10 @@ def total_segments(hal: str) -> tuple:
 
 def aligned_bases(hal: str) -> tuple:
     """(total, canonical) child bases aligned to a parent, summed over all
-    branches.  total - canonical = the paralogous share, which
-    extract_lod's ortholog-only model drops by design — this quantifies
-    that cost vs the reference LodExtract (lod/impl/halLodExtract.cpp),
-    which retains paralogy through its column-sampled graph."""
+    branches.  total - canonical = the paralogous share; extract_lod
+    retains it through coarse paralogy rings (like the reference
+    LodExtract's column-sampled graph, lod/impl/halLodExtract.cpp) unless
+    --onlyOrthologs — coverage here quantifies what each mode keeps."""
     import numpy as np
 
     from hal_tpu.constants import NULL_INDEX

@@ -22,11 +22,14 @@ def run(argv=None):
     p.add_argument("--minSeqFrac", type=float, default=0.0)
     p.add_argument("--keepSequences", action="store_true")
     p.add_argument("--allSequences", action="store_true")
+    p.add_argument("--onlyOrthologs", action="store_true",
+                   help="drop paralogous copies instead of retaining rings")
     add_storage_options(p, write=True)
     o = p.parse_args(argv)
     aln = open_alignment(o.inHalPath)
     lod = extract_lod(aln, scale=max(int(o.scale), 1), root=o.root or None,
-                      keep_sequences=o.keepSequences)
+                      keep_sequences=o.keepSequences,
+                      only_orthologs=o.onlyOrthologs)
     save_alignment(lod, o.outHalPath, **save_kwargs(o))
 
 

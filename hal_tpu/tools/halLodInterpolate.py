@@ -41,6 +41,8 @@ def run(argv=None):
     p.add_argument("--resume", action="store_true",
                    help="skip LOD levels whose output already exists")
     p.add_argument("--keepSequences", action="store_true")
+    p.add_argument("--onlyOrthologs", action="store_true",
+                   help="drop paralogous copies instead of retaining rings")
     p.add_argument("--numProc", type=int, default=1)
     p.add_argument("--absPath", action="store_true")
     add_storage_options(p)
@@ -61,7 +63,8 @@ def run(argv=None):
             continue
         out_path = os.path.join(out_dir, "%s_lod%d.halz" % (base, step))
         if not (o.resume and os.path.exists(out_path)):
-            lod = extract_lod(aln, scale=scale, keep_sequences=o.keepSequences)
+            lod = extract_lod(aln, scale=scale, keep_sequences=o.keepSequences,
+                              only_orthologs=o.onlyOrthologs)
             save_alignment(lod, out_path, fmt="halz")
         lines.append("%d %s" % (step, os.path.abspath(out_path) if o.absPath else out_path))
 

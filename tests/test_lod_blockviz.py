@@ -31,6 +31,54 @@ def test_lod_extract_validates_and_coarsens():
         assert not g1.has_dna or g1.length == 0
 
 
+def test_lod_retains_paralogy():
+    """Default extract_lod keeps paralogous copies as valid coarse rings
+    and strictly beats the --onlyOrthologs mode's aligned-base coverage
+    (reference LodExtract carries duplications through its LodGraph,
+    lod/impl/halLodExtract.cpp)."""
+    from hal_tpu.constants import NULL_INDEX
+    from hal_tpu.randgen import create_random_alignment
+
+    def aligned_total(a):
+        tot = 0
+        for n in a.genome_names():
+            g = a.open_genome(n)
+            if a.tree.parent(n) is None or g.num_top_segments == 0:
+                continue
+            idx = np.flatnonzero(g.top_parent != NULL_INDEX)
+            tot += int(np.diff(g.top_start)[idx].sum())
+        return tot
+
+    aln = create_random_alignment(seed=17, max_genomes=6, min_segments=40,
+                                  max_segments=120, min_segment_length=10,
+                                  max_segment_length=40)
+    lod = extract_lod(aln, scale=20)
+    validate_alignment(lod)  # rings must satisfy validateDuplications
+    lod_ortho = extract_lod(aln, scale=20, only_orthologs=True)
+    validate_alignment(lod_ortho)
+    assert aligned_total(lod) > aligned_total(lod_ortho)
+
+    rings = 0
+    for n in lod.genome_names():
+        g = lod.open_genome(n)
+        members = np.flatnonzero(g.top_paralogy != NULL_INDEX)
+        rings += len(members)
+        if len(members) == 0:
+            continue
+        # ring members share a parent tile and exactly one is canonical
+        parent = lod.tree.parent(n)
+        pg = lod.open_genome(parent)
+        slot = lod.tree.child_index(parent, n)
+        for ti in members:
+            pi = g.top_parent[ti]
+            assert pi == g.top_parent[g.top_paralogy[ti]]
+            back = pg.bot_child[pi, slot]
+            assert back in members or back == ti
+        og = lod_ortho.open_genome(n)
+        assert (og.top_paralogy == NULL_INDEX).all()
+    assert rings > 0
+
+
 def test_lod_interpolate_manifest(tmp_path):
     p = str(tmp_path / "x.halz")
     assert run_tool("halRandGen", p, "--seed", "4", "--maxGenomes", "4",
