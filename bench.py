@@ -89,12 +89,16 @@ def bench_hal2maf():
     """MAF export columns/s over a >=100 Mb window with DNA: 10 genomes,
     128 bp segments (mammal-like run density; the liftover fixture's
     2.2 kb segments would make runs ~17x longer and flatter the rate).
-    Returns (columns/s, MB of MAF written)."""
+
+    The measured path is the hal2maf tool's: the native C++ column engine
+    (native/column_engine.cpp — run-hoisted DFS + MAF entry machine,
+    byte-equal to the Python oracle and to the reference goldens) when
+    built, else the pure-Python exact path.  Output goes to /dev/null;
+    formatting/text assembly IS included.  Returns (columns/s, MAF MB)."""
     import os
 
     from hal_tpu.randgen import create_random_alignment
-    from hal_tpu.io.maf_io import MafBlockBuilder
-    from hal_tpu.ops.column import iter_slices_exact
+    from hal_tpu.ops.column_native import maybe_native_exporter
 
     t0 = time.time()
     aln = create_random_alignment(
@@ -108,32 +112,52 @@ def bench_hal2maf():
     sys.stderr.write("maf fixture: %d genomes, ref %.0f Mb, 128bp segments "
                      "in %.1fs\n" % (aln.num_genomes, g.length / 1e6,
                                      time.time() - t0))
-    builder = MafBlockBuilder(aln, ref, ucsc_names=True)
-    t0 = time.time()
-    for n in aln.genome_names():
-        builder._ascii(n)
-    sys.stderr.write("ascii caches: %.1fs\n" % (time.time() - t0))
     W = min(100 * 10 ** 6, int(g.length))
     CH = 1 << 20
     nbytes = 0
-    out = open(os.devnull, "w")
-    t0 = time.time()
-    pos = 0
-    while pos < W:
-        end = min(pos + CH, W)
-        for block in builder.feed(iter_slices_exact(aln, ref, pos, end)):
-            nbytes += len(block) + 1
-            out.write(block)
-        pos = end
-    b = builder.flush_end()
-    if b:
-        nbytes += len(b) + 1
+    ex = maybe_native_exporter(aln, ref)
+    out = open(os.devnull, "wb")
+    if ex is not None:
+        t0 = time.time()
+        pos = 0
+        while pos < W:
+            end = min(pos + CH, W)
+            b = ex.export(pos, end)
+            nbytes += len(b)
+            out.write(b)
+            pos = end
+        b = ex.finish()
+        nbytes += len(b)
         out.write(b)
-    dt = time.time() - t0
+        dt = time.time() - t0
+        engine = "native"
+    else:
+        from hal_tpu.io.maf_io import MafBlockBuilder
+        from hal_tpu.ops.column import iter_slices_exact
+
+        builder = MafBlockBuilder(aln, ref, ucsc_names=True)
+        t0 = time.time()
+        for n in aln.genome_names():
+            builder._ascii(n)
+        sys.stderr.write("ascii caches: %.1fs\n" % (time.time() - t0))
+        t0 = time.time()
+        pos = 0
+        while pos < W:
+            end = min(pos + CH, W)
+            for block in builder.feed(iter_slices_exact(aln, ref, pos, end)):
+                nbytes += len(block) + 1
+                out.write(block.encode())
+            pos = end
+        b = builder.flush_end()
+        if b:
+            nbytes += len(b) + 1
+            out.write(b.encode())
+        dt = time.time() - t0
+        engine = "python-fallback"
     out.close()
     rate = W / dt
-    sys.stderr.write("hal2maf: %.1fs for %d columns -> %.0f columns/s "
-                     "(%.0f MB MAF)\n" % (dt, W, rate, nbytes / 1e6))
+    sys.stderr.write("hal2maf (%s): %.1fs for %d columns -> %.0f columns/s "
+                     "(%.0f MB MAF)\n" % (engine, dt, W, rate, nbytes / 1e6))
     return rate, nbytes / 1e6
 
 

@@ -1,0 +1,212 @@
+"""ctypes binding for the native exact hal2maf column engine
+(native/column_engine.cpp; built as native/libhalcolumn.so).
+
+The engine is the C++ twin of iter_slices_exact + MafBlockBuilder — same
+run-hoisted DFS, same MAF entry state machine — reading the columnar genome
+arrays in place.  `maybe_native_exporter` returns None whenever the request
+needs a feature the native path does not carry (indel stacks, --global
+visit caches, --printTree) or a scope genome has no DNA; callers then fall
+back to the pure-Python path, which remains the tested oracle.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_lib = None
+_tried = False
+
+_I64 = ctypes.POINTER(ctypes.c_int64)
+_U8 = ctypes.POINTER(ctypes.c_uint8)
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("HALTPU_NO_NATIVE"):
+        return None
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "native", "libhalcolumn.so")
+    if not os.path.exists(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+    lib.ce_new.restype = ctypes.c_void_p
+    lib.ce_new.argtypes = [ctypes.c_int64] * 4
+    lib.ce_add_genome.restype = None
+    lib.ce_add_genome.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_char_p,  # h, gid, name
+        ctypes.c_int64, ctypes.c_int64,                    # parent, slot
+        ctypes.c_int64, _I64,                              # n_children, ids
+        ctypes.c_int64, _I64, _I64, _I64, ctypes.c_char_p,  # seqs
+        ctypes.c_int64, _I64, _I64, _U8, _I64, _I64,       # tops
+        ctypes.c_int64, _I64, _I64, _I64, _U8,             # bottoms
+        _U8,                                               # dna
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+    ]
+    lib.ce_export.restype = ctypes.c_int64
+    lib.ce_export.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]
+    lib.ce_finish.restype = ctypes.c_int64
+    lib.ce_finish.argtypes = [ctypes.c_void_p]
+    lib.ce_read.restype = ctypes.c_int64
+    lib.ce_read.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64]
+    lib.ce_free.restype = None
+    lib.ce_free.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _c64(a):
+    a = np.ascontiguousarray(a, np.int64)
+    return a, a.ctypes.data_as(_I64)
+
+
+def _cu8(a):
+    a = np.ascontiguousarray(a, np.uint8)
+    return a, a.ctypes.data_as(_U8)
+
+
+class NativeMafExporter:
+    """Streams exact MAF text for reference windows via the C++ engine.
+
+    Construct via maybe_native_exporter (which gates feature support);
+    export(gs, ge) returns the finished MAF bytes for that window,
+    finish() the final flush (both already carry the per-block trailing
+    newline the tool would add)."""
+
+    def __init__(self, aln, ref: str, scope=None, targets=None,
+                 no_dupes=False, no_ancestors=False, only_orthologs=False,
+                 unique=False, max_block_len: int = 1000,
+                 ucsc_names: bool = True):
+        lib = _load()
+        assert lib is not None
+        tree = aln.tree
+        names = sorted(aln.genome_names())
+        gid = {n: i for i, n in enumerate(names)}
+        rank = {n: r for r, n in enumerate(sorted(names))}
+        flags = ((1 if no_dupes else 0) | (2 if no_ancestors else 0)
+                 | (4 if only_orthologs else 0) | (8 if unique else 0)
+                 | (16 if scope else 0) | (32 if targets else 0))
+        self._lib = lib
+        self._h = lib.ce_new(len(names), gid[ref], flags,
+                             int(max_block_len or 1000))
+        self._keep = []  # keep array refs alive for the handle's lifetime
+        add = lib.ce_add_genome
+        for n in names:
+            g = aln.open_genome(n)
+            parent = tree.parent(n)
+            children = tree.children(n)
+            nt, nb, ns = (g.num_top_segments, g.num_bottom_segments,
+                          g.num_sequences)
+            seq_start, p_seq_start = _c64(g.seq_start)
+            seq_top, p_seq_top = _c64(g.seq_top)
+            seq_bot, p_seq_bot = _c64(g.seq_bot)
+            disp = [("%s.%s" % (n, s)) if ucsc_names else s
+                    for s in g.seq_names]
+            blob = b"\x00".join(d.encode() for d in disp) + b"\x00"
+            top_start, p_top_start = _c64(g.top_start)
+            top_parent, p_top_parent = _c64(g.top_parent)
+            top_rev, p_top_rev = _cu8(g.top_parent_reversed)
+            if g.top_paralogy.shape[0]:
+                top_para, p_top_para = _c64(g.top_paralogy)
+            else:
+                top_para, p_top_para = None, None
+            if g.top_bottom_parse.shape[0]:
+                top_bparse, p_top_bparse = _c64(g.top_bottom_parse)
+            else:
+                top_bparse, p_top_bparse = None, None
+            bot_start, p_bot_start = _c64(g.bot_start)
+            if g.bot_top_parse.shape[0]:
+                bot_tparse, p_bot_tparse = _c64(g.bot_top_parse)
+            else:
+                bot_tparse, p_bot_tparse = None, None
+            n_children = len(children)
+            if nb and n_children:
+                bot_child, p_bot_child = _c64(g.bot_child[:, :n_children])
+                bot_crev, p_bot_crev = _cu8(
+                    g.bot_child_reversed[:, :n_children])
+            else:
+                bot_child, p_bot_child = None, None
+                bot_crev, p_bot_crev = None, None
+            dna, p_dna = (_cu8(g.dna) if g.dna.size else (None, None))
+            child_ids, p_child_ids = _c64([gid[c] for c in children])
+            slot = (tree.child_index(parent, n) if parent is not None else -1)
+            self._keep.extend([seq_start, seq_top, seq_bot, blob, top_start,
+                               top_parent, top_rev, top_para, top_bparse,
+                               bot_start, bot_tparse, bot_child, bot_crev,
+                               dna, child_ids])
+            add(ctypes.c_void_p(self._h), gid[n], n.encode(),
+                gid[parent] if parent is not None else -1, slot,
+                n_children, p_child_ids, ns, p_seq_start, p_seq_top,
+                p_seq_bot, blob, nt, p_top_start, p_top_parent, p_top_rev,
+                p_top_para, p_top_bparse, nb, p_bot_start, p_bot_tparse,
+                p_bot_child, p_bot_crev, p_dna, rank[n],
+                1 if (not scope or n in scope) else 0,
+                1 if (not targets or n in targets) else 0,
+                1 if tree.is_leaf(n) else 0)
+
+    # ce_add_genome's long signature is declared lazily (ctypes infers
+    # int/pointer types from the call); set argtypes once for safety
+    def _export_bytes(self, n: int) -> bytes:
+        buf = ctypes.create_string_buffer(n)
+        got = self._lib.ce_read(ctypes.c_void_p(self._h), buf, n)
+        return buf.raw[:got]
+
+    def export(self, gs: int, ge: int) -> bytes:
+        n = self._lib.ce_export(ctypes.c_void_p(self._h), int(gs), int(ge))
+        if n < 0:
+            raise RuntimeError("native column engine failed on window "
+                               "[%d, %d)" % (gs, ge))
+        return self._export_bytes(int(n))
+
+    def finish(self) -> bytes:
+        n = self._lib.ce_finish(ctypes.c_void_p(self._h))
+        return self._export_bytes(int(n))
+
+    def close(self):
+        if self._h:
+            self._lib.ce_free(ctypes.c_void_p(self._h))
+            self._h = None
+
+    def __del__(self):  # pragma: no cover - GC timing
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def maybe_native_exporter(aln, ref, scope=None, targets=None, no_dupes=False,
+                          no_ancestors=False, only_orthologs=False,
+                          unique=False, max_ref_gap=0, print_tree=False,
+                          shared_visit=None, max_block_len=1000,
+                          ucsc_names=True, keep_empty_ref_blocks=True):
+    """NativeMafExporter when the request is nativabile, else None."""
+    if not available():
+        return None
+    if max_ref_gap or print_tree or shared_visit is not None:
+        return None
+    if not keep_empty_ref_blocks:
+        return None
+    for n in (scope or aln.genome_names()):
+        g = aln.open_genome(n)
+        if g.length > 0 and not g.dna.size:
+            return None
+    try:
+        return NativeMafExporter(aln, ref, scope=scope, targets=targets,
+                                 no_dupes=no_dupes, no_ancestors=no_ancestors,
+                                 only_orthologs=only_orthologs, unique=unique,
+                                 max_block_len=max_block_len,
+                                 ucsc_names=ucsc_names)
+    except Exception:
+        return None

@@ -81,10 +81,34 @@ def run(argv=None):
         targets = None
         scope = None
 
-    out = sys.stdout if o.mafFile in ("stdout", "-") else open(
-        o.mafFile, "a" if o.append else "w")
+    # native C++ engine (native/column_engine.cpp) serves every request it
+    # can express; the pure-Python path (the tested oracle) covers the rest
+    native_ex = None
+    if not o.global_:
+        from hal_tpu.ops.column_native import maybe_native_exporter
+
+        native_ex = maybe_native_exporter(
+            aln, ref, scope=scope, targets=targets, no_dupes=o.noDupes,
+            no_ancestors=o.noAncestors, only_orthologs=o.onlyOrthologs,
+            unique=o.unique, max_ref_gap=o.maxRefGap,
+            print_tree=o.printTree, max_block_len=o.maxBlockLen,
+            ucsc_names=not o.onlySequenceNames,
+            keep_empty_ref_blocks=o.keepEmptyRefBlocks or o.maxRefGap == 0)
+
+    if o.mafFile in ("stdout", "-"):
+        out = sys.stdout
+        out_b = sys.stdout.buffer if native_ex is not None else None
+    elif native_ex is not None:
+        out = out_b = open(o.mafFile, "ab" if o.append else "wb")
+    else:
+        out = open(o.mafFile, "a" if o.append else "w")
+        out_b = None
     if not o.append:
-        write_header(out, aln)
+        if native_ex is not None:
+            out_b.write(("##maf version=1 scoring=N/A\n# hal %s\n\n"
+                         % aln.get_newick_tree()).encode())
+        else:
+            write_header(out, aln)
 
     g = aln.open_genome(ref)
     builder = MafBlockBuilder(aln, ref, max_block_len=o.maxBlockLen,
@@ -111,8 +135,15 @@ def run(argv=None):
         pos = gs
         while pos < ge:
             end = min(pos + WINDOW, ge)
-            export_window(out, aln, ref, pos, end, scope, targets, o, builder)
+            if native_ex is not None:
+                out_b.write(native_ex.export(pos, end))
+            else:
+                export_window(out, aln, ref, pos, end, scope, targets, o,
+                              builder)
             pos = end
+        if native_ex is not None:
+            out_b.write(native_ex.finish())
+            return
         block = builder.flush_end()
         if block:
             out.write(block + "\n")

@@ -1,0 +1,724 @@
+// hal_tpu native column engine: the exact hal2maf hot path in C++17.
+//
+// This is the native-runtime implementation of the same two algorithms the
+// Python package defines and tests:
+//
+//   * the run-hoisted column DFS of hal_tpu/ops/column.py (ColumnDFS /
+//     iter_slices_exact): one tree spreading per RUN of identical columns
+//     instead of the reference's per-column recursion
+//     (/root/reference/api/impl/halColumnIterator.cpp:65-145, 246-356,
+//     557-745 — behaviourally equivalent, structurally re-designed),
+//   * the MAF block entry state machine of hal_tpu/io/maf_io.py
+//     (MafBlockBuilder), reproducing the reference's MafBlock rules
+//     (/root/reference/maf/impl/halMafBlock.cpp: initBlock :294,
+//     appendColumn :370, canAppendColumn :401, printBlock :499,
+//     resetEntries :36-79) byte-for-byte.
+//
+// It reads the columnar genome arrays (int64 starts/links, uint8 flags,
+// nibble-packed DNA) in place — zero copies — and emits finished MAF text
+// into a growing buffer the Python binding drains per window.  Python
+// remains the oracle: tests assert byte equality against the pure-Python
+// path on every flag combination.
+//
+// Not handled here (Python fallback): --maxRefGap indel stacks, --global
+// shared visit caches, --printTree gene trees.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <memory>
+#include <string>
+#include <vector>
+
+namespace {
+
+constexpr int64_t NULL_INDEX = -1;
+
+// 4-bit nibble code -> ASCII base (hal_tpu/dna.py UNPACK_MAP; layout per
+// /root/reference/api/inc/halCommon.h:183-196: even position = high nibble)
+const char UNPACK[16] = {'a', 'c', 'g', 't', 'n', 0, 0, 0,
+                         'A', 'C', 'G', 'T', 'N', 0, 0, 0};
+
+struct CompTable {
+  char m[256];
+  CompTable() {
+    for (int i = 0; i < 256; ++i) m[i] = static_cast<char>(i);
+    const char* a = "acgtACGT";
+    const char* b = "tgcaTGCA";
+    for (int i = 0; i < 8; ++i) m[static_cast<unsigned char>(a[i])] = b[i];
+  }
+};
+const CompTable COMP;
+
+inline char base_at(const uint8_t* dna, int64_t i) {
+  uint8_t byte = dna[i >> 1];
+  return UNPACK[(i & 1) ? (byte & 0xF) : (byte >> 4)];
+}
+
+struct GenomeT {
+  std::string name;
+  const int64_t* seq_start = nullptr;  // n_seq+1
+  const int64_t* seq_top = nullptr;    // n_seq+1
+  const int64_t* seq_bot = nullptr;    // n_seq+1
+  const int64_t* top_start = nullptr;  // n_top+1
+  const int64_t* top_parent = nullptr;
+  const uint8_t* top_rev = nullptr;
+  const int64_t* top_para = nullptr;    // may be null
+  const int64_t* top_bparse = nullptr;  // may be null
+  const int64_t* bot_start = nullptr;   // n_bot+1
+  const int64_t* bot_tparse = nullptr;  // may be null
+  const int64_t* bot_child = nullptr;   // (n_bot, n_children) row-major
+  const uint8_t* bot_crev = nullptr;
+  const uint8_t* dna = nullptr;  // nibble-packed, may be null
+  int64_t n_seq = 0, n_top = 0, n_bot = 0, n_children = 0;
+  int64_t parent = -1;          // genome id
+  int64_t slot_in_parent = -1;  // my column in parent's bot_child
+  std::vector<int64_t> children;
+  std::vector<std::string> seq_names;  // display names (ucsc applied)
+  int64_t name_rank = 0;
+  bool in_scope = true, is_target = true, is_leaf = true;
+
+  inline int64_t seq_of(int64_t pos) const {
+    if (n_seq <= 1) return 0;
+    return std::upper_bound(seq_start, seq_start + n_seq + 1, pos) -
+           seq_start - 1;
+  }
+  inline int64_t top_at(int64_t pos) const {
+    return std::upper_bound(top_start, top_start + n_top + 1, pos) -
+           top_start - 1;
+  }
+  inline int64_t bot_at(int64_t pos) const {
+    return std::upper_bound(bot_start, bot_start + n_bot + 1, pos) -
+           bot_start - 1;
+  }
+};
+
+struct RowRef {  // one DFS-inserted position
+  int32_t gid;
+  uint8_t rev;
+  int64_t pos;
+};
+
+struct BRow {  // a run row fed to the block machine
+  int32_t gid;
+  int32_t seq;
+  uint8_t rev;
+  int64_t lo, hi;  // remaining target range of the (possibly split) run
+};
+
+// --------------------------------------------------------------------------
+// MAF block entry machine (mirror of hal_tpu/io/maf_io.py MafBlockBuilder,
+// reference halMafBlock.cpp).
+// --------------------------------------------------------------------------
+
+struct Entry {
+  int64_t key_rank;  // genome name rank (SequenceLess major key)
+  int64_t key_seq;   // sequence array index (minor key)
+  const std::string* name;
+  int32_t gid;
+  int64_t src_length;
+  int64_t seq_start0;  // genome coordinate of the sequence start
+  int64_t start = -1;  // strand coords; -1 == NULL
+  int64_t length = 0;
+  bool neg = false;
+  int last_used = 0;
+  std::string text;
+};
+
+struct Engine {
+  std::vector<GenomeT> g;
+  int32_t ref = 0;
+  bool no_dupes = false, no_ancestors = false, only_orthologs = false;
+  bool unique = false, has_scope = false, has_targets = false;
+  int64_t max_len = 1000;
+
+  // DFS state
+  std::vector<RowRef> rows;
+  std::vector<std::pair<int64_t, uint8_t>> refpos;
+  int64_t limit = 0;
+
+  // block machine state
+  std::vector<std::unique_ptr<Entry>> entries;
+  Entry* reference = nullptr;
+  int64_t ref_index = -1;  // -1 == None
+  bool started = false;
+
+  std::string out;  // finished MAF text, drained by the binding
+  std::vector<BRow> brows;
+
+  // ---------------------------------------------------------- DFS helpers
+  inline void limit_seg(const int64_t* starts, int64_t i, int64_t pos,
+                        bool rev) {
+    int64_t rem = rev ? pos - starts[i] + 1 : starts[i + 1] - pos;
+    if (rem < limit) limit = rem;
+  }
+
+  inline void insert(int32_t gid, int64_t pos, bool rev) {
+    if (unique && gid == ref) refpos.emplace_back(pos, rev ? 1 : 0);
+    const GenomeT& t = g[gid];
+    if (no_ancestors && !t.is_leaf) return;
+    if (has_targets && !t.is_target) return;
+    rows.push_back({gid, static_cast<uint8_t>(rev ? 1 : 0), pos});
+  }
+
+  inline bool parent_in_scope(int32_t gid) const {
+    if (!has_scope) return true;
+    int64_t p = g[gid].parent;
+    return p >= 0 && g[p].in_scope;
+  }
+
+  inline bool is_canonical(const GenomeT& t, int64_t i) const {
+    int64_t pi = t.top_parent[i];
+    if (pi < 0) return false;
+    const GenomeT& pt = g[t.parent];
+    return pt.bot_child[pi * pt.n_children + t.slot_in_parent] == i;
+  }
+
+  // mirror of ColumnDFS._update_parent (column.py:411-430)
+  void update_parent(int32_t gid, const GenomeT& t, int64_t i, int64_t pos,
+                     bool rev) {
+    int64_t pi = t.top_parent[i];
+    if (pi < 0 || !parent_in_scope(gid)) return;
+    if (no_dupes && !is_canonical(t, i)) return;
+    int32_t parent = static_cast<int32_t>(t.parent);
+    const GenomeT& pt = g[parent];
+    bool prev = t.top_rev[i] != 0;
+    int64_t off = pos - t.top_start[i];
+    int64_t seg_len = t.top_start[i + 1] - t.top_start[i];
+    int64_t ppos = pt.bot_start[pi] + (prev ? seg_len - 1 - off : off);
+    bool nrev = rev ^ prev;
+    limit_seg(pt.bot_start, pi, ppos, nrev);
+    insert(parent, ppos, nrev);
+    parse_up(parent, pt, pi, ppos, nrev);
+    int64_t my_slot = t.slot_in_parent;
+    for (int64_t slot = 0; slot < pt.n_children; ++slot) {
+      if (slot != my_slot)
+        update_child(parent, pt, pi, ppos, nrev, slot,
+                     static_cast<int32_t>(pt.children[slot]));
+    }
+  }
+
+  // mirror of ColumnDFS._update_child (column.py:432-447)
+  void update_child(int32_t gid, const GenomeT& t, int64_t b, int64_t pos,
+                    bool rev, int64_t slot, int32_t child) {
+    int64_t j = t.bot_child[b * t.n_children + slot];
+    if (j < 0 || (has_scope && !g[child].in_scope)) return;
+    const GenomeT& ct = g[child];
+    bool crev = t.bot_crev[b * t.n_children + slot] != 0;
+    int64_t off = pos - t.bot_start[b];
+    int64_t seg_len = t.bot_start[b + 1] - t.bot_start[b];
+    int64_t cpos = ct.top_start[j] + (crev ? seg_len - 1 - off : off);
+    bool nrev = rev ^ crev;
+    limit_seg(ct.top_start, j, cpos, nrev);
+    insert(child, cpos, nrev);
+    next_top_dup(child, ct, j, cpos, nrev);
+    parse_down(child, ct, j, cpos, nrev);
+  }
+
+  // mirror of ColumnDFS._next_top_dup (column.py:449-473)
+  void next_top_dup(int32_t gid, const GenomeT& t, int64_t i, int64_t pos,
+                    bool rev) {
+    if (no_dupes || t.top_para == nullptr || t.top_para[i] < 0 ||
+        t.parent < 0 || !parent_in_scope(gid))
+      return;
+    int64_t first = i;
+    int64_t cur = i, cpos = pos;
+    bool crev = rev;
+    while (true) {
+      int64_t m = t.top_para[cur];
+      bool flip = (t.top_rev[cur] != 0) != (t.top_rev[m] != 0);
+      int64_t off = cpos - t.top_start[cur];
+      int64_t seg_len = t.top_start[cur + 1] - t.top_start[cur];
+      int64_t mpos = t.top_start[m] + (flip ? seg_len - 1 - off : off);
+      bool mrev = crev ^ flip;
+      limit_seg(t.top_start, m, mpos, mrev);
+      insert(gid, mpos, mrev);
+      parse_down(gid, t, m, mpos, mrev);
+      cur = m;
+      cpos = mpos;
+      crev = mrev;
+      int64_t nxt = t.top_para[cur];
+      if (nxt < 0 || nxt == first) break;
+    }
+  }
+
+  // mirror of ColumnDFS._parse_up (column.py:475-489, sans indel sites)
+  void parse_up(int32_t gid, const GenomeT& t, int64_t b, int64_t pos,
+                bool rev) {
+    if (t.bot_tparse == nullptr || t.bot_tparse[b] < 0) return;
+    int64_t i = t.top_at(pos);
+    limit_seg(t.top_start, i, pos, rev);
+    update_parent(gid, t, i, pos, rev);
+    if (!only_orthologs) next_top_dup(gid, t, i, pos, rev);
+  }
+
+  // mirror of ColumnDFS._parse_down (column.py:491-499)
+  void parse_down(int32_t gid, const GenomeT& t, int64_t i, int64_t pos,
+                  bool rev) {
+    if (t.top_bparse == nullptr || t.top_bparse[i] < 0) return;
+    int64_t b = t.bot_at(pos);
+    limit_seg(t.bot_start, b, pos, rev);
+    for (int64_t slot = 0; slot < t.n_children; ++slot)
+      update_child(gid, t, b, pos, rev, slot,
+                   static_cast<int32_t>(t.children[slot]));
+  }
+
+  // mirror of ColumnDFS.run_from for the forward reference walk
+  // (column.py:324-368; indel/visit tracking lives only in Python)
+  void run_dfs(int64_t pos) {
+    rows.clear();
+    refpos.clear();
+    const GenomeT& t = g[ref];
+    int64_t si = t.seq_of(pos);
+    bool seq_has_tops = t.seq_top[si + 1] - t.seq_top[si] > 0;
+    limit = t.seq_start[si + 1] - pos;
+    if (seq_has_tops) {
+      int64_t i = t.top_at(pos);
+      limit_seg(t.top_start, i, pos, false);
+      insert(ref, pos, false);
+      update_parent(ref, t, i, pos, false);
+      if (!only_orthologs) next_top_dup(ref, t, i, pos, false);
+      parse_down(ref, t, i, pos, false);
+    } else {
+      int64_t b = t.bot_at(pos);
+      limit_seg(t.bot_start, b, pos, false);
+      insert(ref, pos, false);
+      for (int64_t slot = 0; slot < t.n_children; ++slot)
+        update_child(ref, t, b, pos, false, slot,
+                     static_cast<int32_t>(t.children[slot]));
+    }
+  }
+
+  // -------------------------------------------------------- block machine
+
+  static inline bool key_less(const Entry* e, int64_t rank, int64_t seq) {
+    return e->key_rank != rank ? e->key_rank < rank : e->key_seq < seq;
+  }
+
+  void reset_entries() {  // resetEntries (halMafBlock.cpp:36-79)
+    size_t w = 0;
+    for (size_t i = 0; i < entries.size(); ++i) {
+      Entry* e = entries[i].get();
+      if (e->start == -1) {
+        if (e->last_used > 10) continue;
+        e->last_used += 1;
+      } else {
+        e->last_used = 0;
+      }
+      e->start = -1;
+      e->neg = false;
+      e->length = 0;
+      e->text.clear();
+      if (w != i) entries[w] = std::move(entries[i]);
+      ++w;
+    }
+    entries.resize(w);
+    reference = nullptr;
+    ref_index = -1;
+  }
+
+  inline int64_t row_start_strand(const BRow& r, int64_t* src_len) const {
+    const GenomeT& t = g[r.gid];
+    int64_t s0 = t.seq_start[r.seq];
+    int64_t sl = t.seq_start[r.seq + 1] - s0;
+    *src_len = sl;
+    return r.rev ? sl - 1 - (r.hi - 1 - s0) : r.lo - s0;
+  }
+
+  void init_block(int64_t slice_lo) {  // initBlock (halMafBlock.cpp:294-368)
+    reset_entries();
+    // dupe counting: d-th row of a key -> d-th entry of that key
+    for (size_t ri = 0; ri < brows.size(); ++ri) {
+      const BRow& row = brows[ri];
+      int64_t rank = g[row.gid].name_rank;
+      // d = how many earlier rows share this key
+      int64_t d = 0;
+      for (size_t q = 0; q < ri; ++q)
+        if (brows[q].gid == row.gid && brows[q].seq == row.seq) ++d;
+      // base = bisect_left(keys, key)
+      size_t base = std::lower_bound(entries.begin(), entries.end(), 0,
+                                     [&](const std::unique_ptr<Entry>& e,
+                                         int) {
+                                       return key_less(e.get(), rank, row.seq);
+                                     }) -
+                    entries.begin();
+      size_t idx = base + d;
+      Entry* entry;
+      if (idx >= entries.size() || entries[idx]->key_rank != rank ||
+          entries[idx]->key_seq != row.seq) {
+        auto ne = std::make_unique<Entry>();
+        ne->key_rank = rank;
+        ne->key_seq = row.seq;
+        ne->gid = row.gid;
+        ne->name = &g[row.gid].seq_names[row.seq];
+        ne->seq_start0 = g[row.gid].seq_start[row.seq];
+        ne->src_length = g[row.gid].seq_start[row.seq + 1] - ne->seq_start0;
+        entry = ne.get();
+        // insert at bisect_right(keys, key): after every equal key
+        size_t ins = entries.size();
+        for (size_t q = base; q < entries.size(); ++q) {
+          const Entry* cand = entries[q].get();
+          if (cand->key_rank > rank ||
+              (cand->key_rank == rank && cand->key_seq > row.seq)) {
+            ins = q;
+            break;
+          }
+        }
+        entries.insert(entries.begin() + ins, std::move(ne));
+      } else {
+        entry = entries[idx].get();
+      }
+      int64_t src_len;
+      entry->start = row_start_strand(row, &src_len);
+      entry->neg = row.rev != 0;
+      entry->length = 0;
+      entry->text.clear();
+    }
+
+    // reference selection (halMafBlock.cpp:353-363)
+    reference = nullptr;
+    ref_index = -1;
+    if (!brows.empty()) {
+      const GenomeT& rg = g[ref];
+      int64_t rsi = rg.seq_of(slice_lo);
+      int64_t rrank = rg.name_rank;
+      for (auto& e : entries) {
+        if (e->key_rank == rrank && e->key_seq == rsi) {
+          reference = e.get();
+          ref_index = slice_lo - rg.seq_start[rsi];
+          break;
+        }
+      }
+    }
+    if (reference == nullptr && !entries.empty()) {
+      reference = entries[0].get();
+      ref_index = -1;
+    }
+  }
+
+  bool can_append() const {  // canAppendColumn (halMafBlock.cpp:401-450)
+    size_t e = 0;
+    for (const BRow& row : brows) {
+      int64_t rank = g[row.gid].name_rank;
+      while (e < entries.size() && !(entries[e]->key_rank == rank &&
+                                     entries[e]->key_seq == row.seq))
+        ++e;
+      if (e >= entries.size()) return false;
+      const Entry* entry = entries[e].get();
+      if (entry->start != -1) {
+        if (entry->length >= max_len) return false;
+        if (entry->length > 0 && entry->neg != (row.rev != 0)) return false;
+        int64_t src_len;
+        int64_t start = row_start_strand(row, &src_len);
+        if (start - entry->start != entry->length) return false;
+      }
+      ++e;
+    }
+    return true;
+  }
+
+  int64_t append_budget() const {
+    int64_t budget = max_len;
+    size_t e = 0;
+    for (const BRow& row : brows) {
+      int64_t rank = g[row.gid].name_rank;
+      while (e < entries.size() && !(entries[e]->key_rank == rank &&
+                                     entries[e]->key_seq == row.seq))
+        ++e;
+      if (e < entries.size()) {
+        int64_t b = max_len - entries[e]->length;
+        if (b < budget) budget = b;
+        ++e;
+      }
+    }
+    return budget;
+  }
+
+  inline void append_text(Entry* entry, const BRow& row, int64_t k) {
+    const uint8_t* dna = g[row.gid].dna;
+    std::string& t = entry->text;
+    size_t base = t.size();
+    t.resize(base + k);
+    char* dst = &t[base];
+    if (row.rev) {
+      // columns run right-to-left from hi-1, complemented
+      for (int64_t p = row.hi - 1; p >= row.hi - k; --p)
+        *dst++ = COMP.m[static_cast<unsigned char>(base_at(dna, p))];
+    } else {
+      for (int64_t p = row.lo; p < row.lo + k; ++p) *dst++ = base_at(dna, p);
+    }
+  }
+
+  // appendColumn for k columns of the current run (halMafBlock.cpp:370-395);
+  // advances each row's remaining range in place
+  void append_run(int64_t k) {
+    size_t e = 0;
+    for (BRow& row : brows) {
+      int64_t rank = g[row.gid].name_rank;
+      while (e < entries.size() && !(entries[e]->key_rank == rank &&
+                                     entries[e]->key_seq == row.seq)) {
+        entries[e]->text.append(k, '-');
+        ++e;
+      }
+      Entry* entry = entries[e].get();
+      if (entry->start == -1) {
+        // late joiner keeps accumulated '-' padding (initEntry
+        // clearSequence=false, halMafBlock.cpp:109-113)
+        int64_t src_len;
+        entry->start = row_start_strand(row, &src_len);
+        entry->neg = row.rev != 0;
+      }
+      entry->length += k;
+      append_text(entry, row, k);
+      if (row.rev)
+        row.hi -= k;
+      else
+        row.lo += k;
+      ++e;
+    }
+    for (; e < entries.size(); ++e) entries[e]->text.append(k, '-');
+  }
+
+  void entry_line(const Entry* e, int64_t start_override) {
+    out += "s\t";
+    out += *e->name;
+    out += '\t';
+    append_int(start_override >= 0 ? start_override : e->start);
+    out += '\t';
+    append_int(e->length);
+    out += '\t';
+    out += e->neg ? '-' : '+';
+    out += '\t';
+    append_int(e->src_length);
+    out += '\t';
+    out += e->text;
+    out += '\n';
+  }
+
+  inline void append_int(int64_t v) {
+    char buf[24];
+    char* p = buf + 24;
+    bool neg = v < 0;
+    uint64_t u = neg ? static_cast<uint64_t>(-v) : static_cast<uint64_t>(v);
+    do {
+      *--p = static_cast<char>('0' + (u % 10));
+      u /= 10;
+    } while (u);
+    if (neg) *--p = '-';
+    out.append(p, buf + 24 - p);
+  }
+
+  // printBlock (halMafBlock.cpp:499-519); emits block + trailing '\n'
+  // (the tool writes `block + "\n"` per yielded block)
+  bool flush() {
+    if (reference == nullptr) return false;
+    out += "a\n";
+    if (reference->start == -1) {
+      if (ref_index >= 0) entry_line(reference, ref_index);
+    } else {
+      entry_line(reference, -1);
+    }
+    for (auto& e : entries)
+      if (e->start != -1 && e.get() != reference) entry_line(e.get(), -1);
+    out += '\n';
+    return true;
+  }
+
+  // ------------------------------------------------------------- feed loop
+  // mirror of MafBlockBuilder.feed for one run (maf_io.py:383-407)
+  void feed_run(int64_t pos, int64_t width) {
+    while (width > 0) {
+      if (!started) {
+        init_block(pos);
+        started = true;
+      } else if (!can_append()) {
+        flush();
+        init_block(pos);
+      }
+      int64_t budget = append_budget();
+      int64_t k = width > budget ? budget : width;
+      append_run(k);
+      pos += k;
+      width -= k;
+      if (width > 0) {
+        flush();
+        started = false;
+      }
+    }
+  }
+
+  int export_window(int64_t gs, int64_t ge) {
+    // `started` recomputed like Python feed() does on entry
+    started = reference != nullptr;
+    if (started) {
+      bool any = false;
+      for (auto& e : entries)
+        if (e->start != -1) {
+          any = true;
+          break;
+        }
+      started = any;
+    }
+    int64_t pos = gs;
+    while (pos < ge) {
+      run_dfs(pos);
+      int64_t run = limit < ge - pos ? limit : ge - pos;
+      if (run <= 0) return -1;  // defensive: malformed tables
+      int64_t kemit = run;
+      if (unique) {
+        // leftmost-ref-position canonicality (column.py:797-806,
+        // reference isCanonicalOnRef halColumnIterator.cpp:208)
+        for (auto& pr : refpos) {
+          int64_t p0 = pr.first;
+          if (pr.second) {
+            if (p0 < pos)
+              kemit = 0;
+            else if (p0 > pos) {
+              int64_t k2 = (p0 - pos) / 2 + 1;
+              if (k2 < kemit) kemit = k2;
+            }
+          } else if (p0 < pos) {
+            kemit = 0;
+          }
+        }
+      }
+      if (kemit > 0) {
+        // rows -> BRows in SequenceLess order, stable (DFS order within key)
+        brows.clear();
+        brows.reserve(rows.size());
+        for (const RowRef& r : rows) {
+          const GenomeT& t = g[r.gid];
+          int64_t si = t.seq_of(r.pos);
+          BRow b;
+          b.gid = r.gid;
+          b.seq = static_cast<int32_t>(si);
+          b.rev = r.rev;
+          if (r.rev) {
+            b.lo = r.pos - kemit + 1;
+            b.hi = r.pos + 1;
+          } else {
+            b.lo = r.pos;
+            b.hi = r.pos + kemit;
+          }
+          brows.push_back(b);
+        }
+        std::stable_sort(brows.begin(), brows.end(),
+                         [this](const BRow& a, const BRow& b) {
+                           int64_t ra = g[a.gid].name_rank;
+                           int64_t rb = g[b.gid].name_rank;
+                           return ra != rb ? ra < rb : a.seq < b.seq;
+                         });
+        // empty slices (every row filtered) are never yielded in Python
+        // (iter_slices_exact: `if out_rows:`) — skip them here too
+        if (!brows.empty()) feed_run(pos, kemit);
+      }
+      pos += run;
+    }
+    return 0;
+  }
+
+  void finish() {  // flush_end (maf_io.py:409-416)
+    bool any = false;
+    for (auto& e : entries)
+      if (e->start != -1) {
+        any = true;
+        break;
+      }
+    if (any) {
+      flush();
+      reset_entries();
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* ce_new(int64_t n_genomes, int64_t ref_gid, int64_t flags,
+             int64_t max_block_len) {
+  Engine* e = new Engine();
+  e->g.resize(static_cast<size_t>(n_genomes));
+  e->ref = static_cast<int32_t>(ref_gid);
+  e->no_dupes = flags & 1;
+  e->no_ancestors = flags & 2;
+  e->only_orthologs = flags & 4;
+  e->unique = flags & 8;
+  e->has_scope = flags & 16;
+  e->has_targets = flags & 32;
+  e->max_len = max_block_len > 0 ? max_block_len : 1000;
+  return e;
+}
+
+void ce_add_genome(void* h, int64_t gid, const char* name, int64_t parent_gid,
+                   int64_t slot_in_parent, int64_t n_children,
+                   const int64_t* child_gids, int64_t n_seq,
+                   const int64_t* seq_start, const int64_t* seq_top,
+                   const int64_t* seq_bot, const char* seq_names_blob,
+                   int64_t n_top, const int64_t* top_start,
+                   const int64_t* top_parent, const uint8_t* top_rev,
+                   const int64_t* top_para, const int64_t* top_bparse,
+                   int64_t n_bot, const int64_t* bot_start,
+                   const int64_t* bot_tparse, const int64_t* bot_child,
+                   const uint8_t* bot_crev, const uint8_t* dna_packed,
+                   int64_t name_rank, int64_t in_scope, int64_t is_target,
+                   int64_t is_leaf) {
+  Engine* e = static_cast<Engine*>(h);
+  GenomeT& t = e->g[static_cast<size_t>(gid)];
+  t.name = name;
+  t.parent = parent_gid;
+  t.slot_in_parent = slot_in_parent;
+  t.n_children = n_children;
+  t.children.assign(child_gids, child_gids + n_children);
+  t.n_seq = n_seq;
+  t.seq_start = seq_start;
+  t.seq_top = seq_top;
+  t.seq_bot = seq_bot;
+  t.seq_names.clear();
+  const char* p = seq_names_blob;
+  for (int64_t i = 0; i < n_seq; ++i) {
+    t.seq_names.emplace_back(p);
+    p += t.seq_names.back().size() + 1;
+  }
+  t.n_top = n_top;
+  t.top_start = top_start;
+  t.top_parent = top_parent;
+  t.top_rev = top_rev;
+  t.top_para = top_para;
+  t.top_bparse = top_bparse;
+  t.n_bot = n_bot;
+  t.bot_start = bot_start;
+  t.bot_tparse = bot_tparse;
+  t.bot_child = bot_child;
+  t.bot_crev = bot_crev;
+  t.dna = dna_packed;
+  t.name_rank = name_rank;
+  t.in_scope = in_scope != 0;
+  t.is_target = is_target != 0;
+  t.is_leaf = is_leaf != 0;
+}
+
+int64_t ce_export(void* h, int64_t gs, int64_t ge) {
+  Engine* e = static_cast<Engine*>(h);
+  if (e->export_window(gs, ge) != 0) return -1;
+  return static_cast<int64_t>(e->out.size());
+}
+
+int64_t ce_finish(void* h) {
+  Engine* e = static_cast<Engine*>(h);
+  e->finish();
+  return static_cast<int64_t>(e->out.size());
+}
+
+int64_t ce_read(void* h, char* dst, int64_t cap) {
+  Engine* e = static_cast<Engine*>(h);
+  int64_t n = static_cast<int64_t>(e->out.size());
+  if (n > cap) n = cap;
+  std::memcpy(dst, e->out.data(), static_cast<size_t>(n));
+  e->out.erase(0, static_cast<size_t>(n));
+  return n;
+}
+
+void ce_free(void* h) { delete static_cast<Engine*>(h); }
+
+}  // extern "C"
