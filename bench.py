@@ -216,48 +216,99 @@ def main():
     sys.stderr.write("device compute (pipelined): %.4fs/batch -> %.0f intervals/s\n"
                      % (dt, compute_rate))
 
-    # end-to-end: map + compact + download the exact result bytes.
-    # the axon tunnel is ~20-25 MB/s, strictly serial (no overlap from
-    # async copies, host threads, or parallel streams — measured), with
-    # ~0.2 s fixed cost per fetch.  So the e2e design minimizes BYTES and
-    # FETCH COUNT: one (3, out_cols) uint32 matrix per batch (12 B/row,
-    # s_lo | t_lo | owner<<9|len<<1|rev), whose STATIC size comes from the
-    # exact host sizing — no dynamic slice op queues behind pending compute
-    # at drain time — plus ONE stacked fetch of all counts/flags at the end.
-    LEN_BITS = 8  # MAX_IVLEN=200 < 2^8
+    # end-to-end: map + ON-DEVICE RUN EXTRACTION + download the merged-run
+    # bytes.  The axon tunnel is strictly serial (~0.06-0.08 s fixed +
+    # ~40 MB/s, measured round 4; no overlap possible), so the e2e design
+    # minimizes BYTES and FETCH COUNT:
+    #   * _runs_packed_jit sorts fragments by (owner, t_lo) and merges
+    #     abutting same-orientation chains on device — the reference's
+    #     BlockMapper::extractSegment (halBlockMapper.cpp:331-391) done
+    #     where the data is; owners with overlapping targets (paralogy
+    #     dupe classes) pass through raw + flagged for host class-merge,
+    #   * the wire format is 6.125 B/run: t_lo u32 + (s_off<<8|len) u16 +
+    #     rev bitmap, plus one u8 runs-per-owner vector and a dupe bitmap
+    #     (vs 12 B/row in round 3),
+    #   * the drain fetches each field ONCE stacked across all batches
+    #     (5 fetches per drain instead of TIMED_ITERS), with static shapes
+    #     from exact host sizing so nothing queues behind pending compute.
+    LEN_BITS = 8  # MAX_IVLEN=200 < 2^8; merged runs never exceed the query
     _, final_rows = sj.host_level_totals(aln, src, tgt, lo, hi,
                                          with_final=True)
     out_cols = sj._bucket_cap(final_rows)
-    out, total, covf = sj._compact_u32_fixed_jit(F, out_cols, LEN_BITS)
-    _ = np.asarray(out[:, :2])  # warm the compaction compile
+    seq_grid = sj.target_seq_grid(aln.open_genome(tgt))
+    res = sj._runs_packed_jit(F, lo_d, seq_grid, out_cols, LEN_BITS)
+    assert not fetch_scalar(res[6]), "packed runs overflow"  # warm compile
     t0 = time.time()
     pending = []
     for _ in range(TIMED_ITERS):
         F, bound, ovf, _ = sj._map_batch_jit(path, lo_d, hi_d, own_d, caps)
-        pending.append(sj._compact_u32_fixed_jit(F, out_cols, LEN_BITS))
-    mats = [np.asarray(out) for out, _, _ in pending]
-    counts = np.asarray(jnp.stack([t for _, t, _ in pending]))
-    flags = np.asarray(jnp.stack([o for _, _, o in pending]))
+        pending.append(sj._runs_packed_jit(F, lo_d, seq_grid, out_cols,
+                                           LEN_BITS))
+    # stacked drain: one fetch per field across every batch
+    tlo_all = np.asarray(jnp.stack([p[0] for p in pending]))
+    pack_all = np.asarray(jnp.stack([p[1] for p in pending]))
+    rev_all = np.asarray(jnp.stack([p[2] for p in pending]))
+    cnt_all = np.asarray(jnp.stack([p[3] for p in pending]))
+    dup_all = np.asarray(jnp.stack([p[4] for p in pending]))
+    tot_all = np.asarray(jnp.stack([p[5] for p in pending]))
+    ovf_all = np.asarray(jnp.stack([p[6] for p in pending]))
     e2e = (time.time() - t0) / TIMED_ITERS
-    assert not flags.any(), "packed compaction overflow"
-    assert int(counts[-1]) == final_rows, (counts[-1], final_rows)
-    k = int(counts[-1])
-    nbytes = mats[-1].nbytes
+    assert not ovf_all.any(), "packed runs overflow in timed loop"
+    k = int(tot_all[-1])
+    nbytes = (tlo_all.nbytes + pack_all.nbytes + rev_all.nbytes
+              + cnt_all.nbytes + dup_all.nbytes) // TIMED_ITERS
     e2e_rate = N_INTERVALS / e2e
-    sys.stderr.write("device end-to-end (pipelined): %.4fs/batch (%d rows, %.1f MB) -> %.0f intervals/s\n"
-                     % (e2e, k, nbytes / 1e6, e2e_rate))
+    sys.stderr.write("device end-to-end (run-merged, pipelined): %.4fs/batch "
+                     "(%d runs from %d fragments, %.1f MB/batch) -> %.0f "
+                     "intervals/s (%.0f%% of compute rate)\n"
+                     % (e2e, k, final_rows, nbytes / 1e6, e2e_rate,
+                        100.0 * e2e_rate / compute_rate))
 
-    # honesty check: the shipped bytes losslessly reconstruct the full
-    # 6-field mapping — decode one batch and compare the unpacked device
-    # result (the path tests prove device==host oracle separately)
-    dec = np.stack(sj.decode_u32_fixed(mats[-1], k, LEN_BITS))
-    Mfull = np.asarray(F[:, :int(np.asarray(bound.reshape(1))[0])]).astype(np.int64)
-    Mfull = Mfull[:, Mfull[sj.C_VALID].astype(bool)]
-    ref_rows = np.stack([Mfull[sj.C_SLO], Mfull[sj.C_SHI], Mfull[sj.C_TLO],
-                         Mfull[sj.C_THI], Mfull[sj.C_REV], Mfull[sj.C_OWN]])
-    assert dec.shape == ref_rows.shape and np.array_equal(
-        dec[:, np.lexsort(dec)], ref_rows[:, np.lexsort(ref_rows)]), \
-        "packed transfer bytes do not reconstruct the mapping"
+    # honesty check: decoded runs equal the host's extract_runs (the
+    # reference merge semantics) on a sample of owners of the last batch
+    s_lo_d, s_hi_d, t_lo_d, t_hi_d, rev_d, own_d2, dupes_d = \
+        sj.decode_runs_packed(tlo_all[-1], pack_all[-1], rev_all[-1],
+                              cnt_all[-1], dup_all[-1], k, lo, LEN_BITS)
+    from hal_tpu.ops import segmap_host as sm
+    from hal_tpu.ops.liftover import extract_runs
+
+    tgtg = aln.open_genome(tgt)
+
+    def seq_of(p):
+        return int(np.searchsorted(tgtg.seq_start, p, side="right")) - 1
+
+    sample = np.arange(0, N_INTERVALS, N_INTERVALS // 2048)
+    n_checked = 0
+    for o in sample:
+        m = own_d2 == o
+        dev_rows = []
+        if dupes_d[o]:
+            rows_m = np.unique(np.stack([s_lo_d[m], s_hi_d[m], t_lo_d[m],
+                                         t_hi_d[m], rev_d[m]], axis=1), axis=0)
+            fr = sm.atomize(sm.Fragments(rows_m[:, 0], rows_m[:, 1],
+                                         rows_m[:, 2], rows_m[:, 3],
+                                         rows_m[:, 4].astype(np.uint8)))
+            for run in extract_runs(fr, seq_of):
+                dev_rows.append((min(f.src_lo for f in run),
+                                 max(f.src_hi for f in run),
+                                 run[0].tgt_lo, run[-1].tgt_hi,
+                                 int(run[0].rev)))
+        else:
+            dev_rows = [(int(s_lo_d[i]), int(s_hi_d[i]), int(t_lo_d[i]),
+                         int(t_hi_d[i]), int(rev_d[i]))
+                        for i in np.flatnonzero(m)]
+        fr = sm.atomize(sm.map_source(aln, src, lo[o:o + 1], hi[o:o + 1],
+                                      tgt, do_dupes=True))
+        host_rows = [(min(f.src_lo for f in run), max(f.src_hi for f in run),
+                      run[0].tgt_lo, run[-1].tgt_hi, int(run[0].rev))
+                     for run in extract_runs(fr, seq_of)]
+        assert sorted(dev_rows) == sorted(host_rows), \
+            ("device runs diverge from host extract_runs", o, dev_rows,
+             host_rows)
+        n_checked += 1
+    sys.stderr.write("run-merge honesty: %d sampled owners equal host "
+                     "extract_runs (%d dupe-flagged of %d owners)\n"
+                     % (n_checked, int(dupes_d.sum()), N_INTERVALS))
 
     # host baseline: vectorized numpy mapper on a subsample
     from hal_tpu.ops import segmap_host as sm
@@ -279,19 +330,30 @@ def main():
 
     # second BASELINE metric: alignment columns/s — the device column-depth
     # engine over a 128M-position window against all genomes
-    # (halAlignmentDepth workload; ref hot loop halColumnIterator.cpp:65-145)
+    # (halAlignmentDepth workload; ref hot loop halColumnIterator.cpp:65-145).
+    # Host prep (path tables + exact sizing) and device run are timed
+    # SEPARATELY: run() dispatches every genome back-to-back and fetches
+    # once, so host jitter cannot serialize the device (round-3 weak #3).
     from hal_tpu.ops.column import compute_scope
-    from hal_tpu.ops.depth import depth_counts_device
+    from hal_tpu.ops.depth import DepthEngine
 
     scope, scope_root = compute_scope(aln, src)
     col_window = min(1 << 27, g.length)
-    depth_counts_device(aln, src, 0, col_window, scope, scope_root)  # warm compiles
     t0 = time.time()
-    counts, cols = depth_counts_device(aln, src, 0, col_window, scope, scope_root)
+    engine = DepthEngine(aln, src, 0, col_window, scope, scope_root)
+    prep_dt = time.time() - t0
+    t0 = time.time()
+    engine.run()  # warm compiles
+    warm_dt = time.time() - t0
+    t0 = time.time()
+    counts, cols = engine.run()
     col_dt = time.time() - t0
     cols_rate = cols / col_dt
-    sys.stderr.write("device columns: %.2fs for %d columns x %d genomes -> %.0f columns/s (mean depth %.2f)\n"
-                     % (col_dt, cols, len(scope), cols_rate, counts.mean()))
+    sys.stderr.write("device columns: host-prep %.2fs, compile+warm %.2fs, "
+                     "device %.2fs for %d columns x %d genomes -> "
+                     "%.0f columns/s (mean depth %.2f)\n"
+                     % (prep_dt, warm_dt, col_dt, cols, len(scope),
+                        cols_rate, counts.mean()))
 
     print(json.dumps({
         "metric": "lifted_intervals_per_s_per_chip",

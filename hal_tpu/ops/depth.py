@@ -86,6 +86,94 @@ def _depth_jit_factory():
 _depth_one = None
 
 
+class DepthEngine:
+    """Device column-depth engine with a strict host-prep / device-run
+    split (round-3 weak #3: the old per-genome loop interleaved host
+    sizing, dispatch and a BLOCKING overflow fetch per genome, so host
+    jitter serialized the device and 3.6x'd the metric between identical
+    runs).
+
+    prepare (the constructor) does ALL host work: per-genome PathData
+    tables, exact full-traversal sizing (segmap_jax.host_path_totals —
+    covers paralogy branches, so device overflow is an invariant violation
+    rather than a retry), and the host-side dupe-count accumulations.
+
+    run() does ONLY device work: dispatch every genome's program
+    back-to-back (nothing blocks between dispatches), accumulate the
+    coverage vector on device, then ONE fetch of (overflow flags, counts).
+    """
+
+    def __init__(self, aln: Alignment, ref: str, gs: int, ge: int, scope,
+                 scope_root, count_dupes: bool = False,
+                 no_ancestors: bool = False):
+        import jax.numpy as jnp
+
+        from hal_tpu.ops import segmap_jax as sj
+
+        global _depth_one
+        if _depth_one is None:
+            _depth_one = _depth_jit_factory()
+        self._sj = sj
+        self._jnp = jnp
+        self.window = int(ge - gs)
+        self.gs, self.ge = int(gs), int(ge)
+        self.count_dupes = count_dupes
+        tree = aln.tree
+        sim = sj._HostSim(aln, do_dupes=True)
+        self.jobs = []   # (path, lo_dev, hi_dev, caps)
+        host_base = np.zeros(self.window, np.int64)
+        for g in sorted(scope):
+            if no_ancestors and not tree.is_leaf(g):
+                continue
+            mrca = tree.lca(ref, g)
+            limit = scope_root if scope_root != mrca else None
+            if count_dupes and limit is not None:
+                # paralogy branches return un-deduped fragments; dupe
+                # COUNTS (not the unique indicator) need the host's
+                # deduped set
+                frags = sm.map_source(aln, ref, np.array([gs]),
+                                      np.array([ge]), g, do_dupes=True,
+                                      coalescence_limit=limit)
+                d = np.zeros(self.window + 1, np.int64)
+                np.add.at(d, frags.src_lo - gs, 1)
+                np.add.at(d, frags.src_hi - gs, -1)
+                host_base += np.cumsum(d[:-1])
+                continue
+            path = sj.PathData.build(aln, ref, g, do_dupes=True,
+                                     coalescence_limit=limit)
+            totals, _final = sj.host_path_totals(
+                aln, ref, g, [gs], [ge], do_dupes=True,
+                coalescence_limit=limit, sim=sim)
+            caps = sj.caps_from_totals(path, totals, slack=1.0)
+            dtype = path.levels[0].grid.dtype if path.levels else jnp.int64
+            lo = jnp.asarray([gs], dtype)
+            hi = jnp.asarray([ge], dtype)
+            self.jobs.append((path, lo, hi, caps))
+        self._host_base = host_base
+
+    def run(self):
+        """Dispatch all genomes, accumulate on device, fetch once.
+        Returns (counts int64 ndarray, columns)."""
+        jnp = self._jnp
+        total = jnp.zeros(self.window, jnp.int32)
+        ovfs = []
+        for (path, lo, hi, caps) in self.jobs:
+            cover, ovf = _depth_one(path, lo, hi, caps, self.window,
+                                    self.count_dupes)
+            total = total + cover
+            ovfs.append(ovf)
+        flags = np.asarray(jnp.stack(ovfs)) if ovfs else np.zeros(0, bool)
+        counts = np.asarray(total).astype(np.int64)
+        if flags.any():
+            # host-sized caps must never overflow; a truncated coverage
+            # vector must not be returned silently
+            raise RuntimeError(
+                "device depth overflow under host-sized caps: host sizing "
+                "algebra diverged from the device expansion")
+        counts += self._host_base
+        return counts - 1, self.window
+
+
 def depth_counts_device(aln: Alignment, ref: str, gs: int, ge: int, scope,
                         scope_root, count_dupes: bool = False,
                         no_ancestors: bool = False):
@@ -96,77 +184,12 @@ def depth_counts_device(aln: Alignment, ref: str, gs: int, ge: int, scope,
     vector is transferred.
 
     Returns (counts ndarray, columns processed) — counts match
-    depth_counts() exactly (tested)."""
-    import jax.numpy as jnp
-
-    from hal_tpu.ops import segmap_jax as sj
-
-    global _depth_one
-    if _depth_one is None:
-        _depth_one = _depth_jit_factory()
-
-    window = int(ge - gs)
-    tree = aln.tree
-    total = jnp.zeros(window, jnp.int32)
-    mrca_cache = {}
-    for g in sorted(scope):
-        if no_ancestors and not tree.is_leaf(g):
-            continue
-        mrca = mrca_cache.setdefault(g, tree.lca(ref, g))
-        limit = scope_root if scope_root != mrca else None
-        if count_dupes and limit is not None:
-            # paralogy branches return un-deduped fragments; dupe COUNTS
-            # (not the unique indicator) need the host's deduped set
-            frags = sm.map_source(aln, ref, np.array([gs]), np.array([ge]),
-                                  g, do_dupes=True, coalescence_limit=limit)
-            d = np.zeros(window + 1, np.int32)
-            np.add.at(d, frags.src_lo - gs, 1)
-            np.add.at(d, frags.src_hi - gs, -1)
-            total = total + jnp.asarray(np.cumsum(d[:-1]).astype(np.int32))
-            continue
-        path = sj.PathData.build(aln, ref, g, do_dupes=True,
-                                 coalescence_limit=limit)
-        dtype = path.levels[0].grid.dtype if path.levels else jnp.int64
-        lo = jnp.asarray([gs], dtype)
-        hi = jnp.asarray([ge], dtype)
-        totals = (sj.host_level_totals(aln, ref, g, [gs], [ge])
-                  if not path.para else None)
-        mult = 2
-        while True:
-            if totals is not None:
-                caps = sj.tight_caps(path, totals, slack=1.0)
-            else:
-                caps = None
-            if caps is None:
-                base = max(window // 256, 1024)
-
-                def cap_for(level):
-                    c = sj._next_pow2(base * mult)
-                    if level.kind == "down" and level.max_ring:
-                        return (c, sj._next_pow2(c * min(level.max_ring, 4)))
-                    return c
-
-                caps = [cap_for(lv) for lv in path.levels[:path.n_up]]
-                for (up, downs) in path.para:
-                    caps.append(cap_for(up))
-                    caps.extend(cap_for(d) for d in downs)
-                caps.extend(cap_for(lv) for lv in path.levels[path.n_up:])
-                caps = tuple(caps)
-            cover, ovf = _depth_one(path, lo, hi, caps, window, count_dupes)
-            if not bool(np.asarray(ovf.reshape(1))[0]):
-                break
-            if totals is not None:
-                # host-sized caps must never overflow; a truncated coverage
-                # vector must not be returned silently
-                raise RuntimeError(
-                    "device depth overflow under host-sized caps: host "
-                    "sizing algebra diverged from the device expansion")
-            mult *= 2
-            if mult > 4096:
-                raise RuntimeError("depth capacity blowup")
-        total = total + cover
-    counts = np.asarray(total).astype(np.int64) - 1
-    return counts, window
+    depth_counts() exactly (tested).  One-shot wrapper over DepthEngine;
+    benchmarks construct the engine once to split host prep from device
+    time."""
+    return DepthEngine(aln, ref, gs, ge, scope, scope_root,
+                       count_dupes=count_dupes,
+                       no_ancestors=no_ancestors).run()
 
 
 def write_wiggle(out, seq_name: str, start: int, counts: np.ndarray, step: int = 1) -> None:

@@ -639,6 +639,129 @@ def _compact_u32_fixed_jit(F, out_cols, len_bits):
     return out, total, ovf
 
 
+@functools.partial(jax.jit, static_argnames=("out_cols", "len_bits"))
+def _runs_packed_jit(F, lo, seq_grid, out_cols, len_bits):
+    """Device run extraction + transfer-minimal packing — the TPU-side
+    equivalent of BlockMapper::extractSegment
+    (/root/reference/liftover/impl/halBlockMapper.cpp:331-391): merge
+    target-abutting, source-abutting, same-orientation fragment chains
+    BEFORE anything crosses the (slow, strictly serial) device->host link.
+
+    Fragments are sorted by (owner, t_lo) — the MappedSegmentSet order
+    within an owner (halMappedSegment.cpp:167-206) — then chains are
+    reduced with segmented scatter-adds.  Owners containing duplicate
+    target starts (paralogy dupe classes) are NOT merged on device: their
+    raw fragments pass through flagged, and the host applies the exact
+    class-merge + query-cut rules (ops.liftover.extract_runs) to just
+    those owners, so the combined result equals host extract_runs exactly.
+
+    Returns (t_lo u32 (out_cols), pack u16 (out_cols) = s_off<<len_bits|len,
+    rev_bits u8 (out_cols/8), counts u8 (n_owners) runs per owner,
+    dupe_bits u8 (n_owners/8) owners needing host merge, run_total i32,
+    overflow bool).  All shapes static: the drain never queues a dynamic
+    slice behind pending batches.  Requires s_off < 2^(16-len_bits),
+    merged len < 2^len_bits, runs/owner < 256 (overflow-flagged)."""
+    n_own = lo.shape[0]
+    cap = F.shape[1]
+    valid = F[C_VALID] > 0
+    u = jnp.uint32
+    own_k = jnp.where(valid, F[C_OWN].astype(u), u(0xFFFFFFFF))
+    tlo = F[C_TLO].astype(u)
+    slo = F[C_SLO].astype(u)
+    ln = (F[C_SHI] - F[C_SLO]).astype(u)
+    rev = F[C_REV].astype(u) & u(1)
+    own_s, tlo_s, slo_s, ln_s, rev_s = jax.lax.sort(
+        (own_k, tlo, slo, ln, rev), num_keys=2, is_stable=True)
+    valid_s = own_s != u(0xFFFFFFFF)
+    # dupe classes: equal (owner, t_lo) pairs -> flag the whole owner
+    prev_own = jnp.concatenate([u(0xFFFFFFFF)[None], own_s[:-1]])
+    prev_tlo = jnp.concatenate([u(0)[None], tlo_s[:-1]])
+    prev_slo = jnp.concatenate([u(0)[None], slo_s[:-1]])
+    prev_ln = jnp.concatenate([u(0)[None], ln_s[:-1]])
+    prev_rev = jnp.concatenate([u(0)[None], rev_s[:-1]])
+    same_own = own_s == prev_own
+    # any target overlap within an owner (the device F is un-atomized, so
+    # paralogy dupes may overlap without sharing a start; equal starts are
+    # the degenerate case) -> flag the owner for host-side atomize+merge
+    dup_pair = same_own & (tlo_s < prev_tlo + prev_ln) & valid_s
+    own_idx = jnp.where(valid_s, own_s, u(n_own)).astype(jnp.int32)
+    dup_own = jnp.zeros(n_own, jnp.int32).at[own_idx].max(
+        dup_pair.astype(jnp.int32), mode="drop")
+    row_dup = jnp.take(dup_own, jnp.clip(own_idx, 0, n_own - 1)) > 0
+    # chain-merge predicate (canMergeRightWith, halMappedSegment.cpp:109-161);
+    # runs never span target sequences (extract_runs seq_index_of check)
+    abut_t = tlo_s == prev_tlo + prev_ln
+    abut_s = jnp.where(rev_s > 0, prev_slo == slo_s + ln_s,
+                       slo_s == prev_slo + prev_ln)
+    seq_id = jnp.searchsorted(seq_grid, tlo_s, side="right")
+    prev_seq = jnp.concatenate([seq_id[:1] * 0, seq_id[:-1]])
+    mergeable = (same_own & (rev_s == prev_rev) & abut_t & abut_s
+                 & (seq_id == prev_seq) & ~row_dup & valid_s)
+    start = valid_s & ~mergeable
+    rid0 = jnp.cumsum(start.astype(jnp.int32)) - 1
+    run_total = jnp.where(cap > 0, rid0[-1] + 1, 0)
+    rid = jnp.where(valid_s, rid0, out_cols)
+    # segmented reduction per run
+    out_tlo = jnp.zeros(out_cols, u).at[rid].max(
+        jnp.where(start, tlo_s, u(0)), mode="drop")
+    out_slo = jnp.full(out_cols, u(0xFFFFFFFF)).at[rid].min(slo_s, mode="drop")
+    out_len = jnp.zeros(out_cols, u).at[rid].add(ln_s, mode="drop")
+    out_rev = jnp.zeros(out_cols, u).at[rid].max(
+        jnp.where(start, rev_s, u(0)), mode="drop")
+    out_own = jnp.zeros(out_cols, jnp.int32).at[rid].max(
+        jnp.where(start, own_idx, 0), mode="drop")
+    # per-owner run counts (u8 on the wire; overflow-flagged)
+    counts32 = jnp.zeros(n_own, jnp.int32).at[own_idx].add(
+        start.astype(jnp.int32), mode="drop")
+    in_run = jnp.arange(out_cols, dtype=jnp.int32) < run_total
+    own_lo = jnp.take(lo.astype(u), jnp.clip(out_own, 0, n_own - 1))
+    s_off = jnp.where(in_run, out_slo - own_lo, u(0))
+    pack = (s_off << len_bits | jnp.where(in_run, out_len, u(0))).astype(
+        jnp.uint16)
+    rev_bits = jnp.packbits(
+        jnp.where(in_run, out_rev, u(0)).astype(jnp.uint8), bitorder="little")
+    dupe_bits = jnp.packbits((dup_own > 0).astype(jnp.uint8),
+                             bitorder="little")
+    overflow = ((run_total > out_cols)
+                | jnp.any(counts32 > 255)
+                | jnp.any(in_run & (out_len >= (u(1) << len_bits)))
+                | jnp.any(in_run & (s_off >= (u(1) << (16 - len_bits)))))
+    return (jnp.where(in_run, out_tlo, u(0)), pack, rev_bits,
+            counts32.astype(jnp.uint8), dupe_bits,
+            run_total.astype(jnp.int32), overflow)
+
+
+def target_seq_grid(genome):
+    """Inner sequence bounds of a target genome as a device uint32 grid for
+    _runs_packed_jit's never-span-sequences check; single-sequence genomes
+    get one unreachable sentinel (jnp.searchsorted rejects empty grids)."""
+    inner = np.asarray(genome.seq_start[1:-1], np.int64)
+    if inner.size == 0:
+        inner = np.array([0xFFFFFFFF], np.int64)
+    return jnp.asarray(inner, jnp.uint32)
+
+
+def decode_runs_packed(t_lo, pack, rev_bits, counts, dupe_bits, run_total,
+                       lo, len_bits: int):
+    """Host decode of _runs_packed_jit output: returns int64 numpy arrays
+    (s_lo, s_hi, t_lo, t_hi, rev, owner) of the merged runs plus the
+    boolean per-owner needs-host-merge mask."""
+    k = int(run_total)
+    n_own = len(lo)
+    counts = np.asarray(counts).astype(np.int64)
+    own = np.repeat(np.arange(n_own, dtype=np.int64), counts)
+    assert len(own) == k, (len(own), k)
+    tl = np.asarray(t_lo)[:k].astype(np.int64)
+    pk = np.asarray(pack)[:k].astype(np.int64)
+    ln = pk & ((1 << len_bits) - 1)
+    s_off = pk >> len_bits
+    rb = np.unpackbits(np.asarray(rev_bits), bitorder="little")[:k]
+    s_lo = np.asarray(lo, np.int64)[own] + s_off
+    dupes = np.unpackbits(np.asarray(dupe_bits),
+                          bitorder="little")[:n_own].astype(bool)
+    return (s_lo, s_lo + ln, tl, tl + ln, rb.astype(np.int64), own, dupes)
+
+
 def decode_u32_fixed(M: np.ndarray, count: int, len_bits: int):
     """Host-side decode of _compact_u32_fixed_jit output: returns int64
     (s_lo, s_hi, t_lo, t_hi, rev, owner) numpy arrays."""
@@ -692,46 +815,55 @@ def _bucket_cap(x: int) -> int:
     return 2 * base
 
 
-def host_level_totals(aln: Alignment, src: str, tgt: str, lo, hi,
-                      do_dupes: bool = True, with_final: bool = False):
-    """Exact per-level expansion totals, computed on host with numpy in one
-    vectorized pass per level (mirrors _run_path's split/ring algebra).
+class _HostSim:
+    """Host twin of _run_path's split/hop/ring algebra (numpy, exact).
 
-    Replaces the device 'sizing pass' — a separate generous-caps compile
-    that dominated round-1 bench time — so the device program compiles
-    ONCE with tight power-of-two caps.  Returns [(split_total, ring_total)]
-    per level; with_final=True returns (totals, final_valid_rows) where
-    final_valid_rows is the exact post-filter fragment count the device
-    compaction will produce (sizes _compact_u32_fixed_jit's static
-    output)."""
-    tree = aln.tree
-    t_lo = np.asarray(lo, np.int64)
-    t_hi = np.asarray(hi, np.int64)
-    totals = []
-    nodes = tree.path(src, tgt)
-    cur = src
-    for nxt in nodes[1:]:
-        g = aln.open_genome(cur)
-        going_up = tree.parent(cur) == nxt
-        ng = aln.open_genome(nxt)
+    Sizes device capacities without a device sizing pass; also yields the
+    exact final row count for static-output compaction.  Ring CSR tables
+    are cached per child genome so multi-path sizing (depth over a whole
+    scope) builds each at most once."""
+
+    def __init__(self, aln: Alignment, do_dupes: bool = True):
+        self.aln = aln
+        self.tree = aln.tree
+        self.do_dupes = do_dupes
+        self._csr: dict = {}
+
+    def _rings(self, child_name: str):
+        r = self._csr.get(child_name)
+        if r is None:
+            cg = self.aln.open_genome(child_name)
+            if (self.do_dupes and cg.top_paralogy.size
+                    and (cg.top_paralogy != NULL_INDEX).any()):
+                rc, ro, rm, rf = _build_ring_csr(cg.top_paralogy,
+                                                 cg.top_parent_reversed)
+                r = (rc, ro, rm, rf, cg.top_start)
+            else:
+                r = False
+            self._csr[child_name] = r
+        return r
+
+    def level(self, cur: str, nxt: str, t_lo, t_hi, rings: bool):
+        """Apply one level; returns (t_lo', t_hi', split_total, ring_total)."""
+        g = self.aln.open_genome(cur)
+        ng = self.aln.open_genome(nxt)
+        going_up = self.tree.parent(cur) == nxt
+        ring_count = None
         if going_up:
             starts = g.top_start
             link = g.top_parent
             lrev = g.top_parent_reversed.astype(np.int64)
             dst = ng.bot_start
-            ring_count = None
         else:
-            slot = tree.child_index(cur, nxt)
+            slot = self.tree.child_index(cur, nxt)
             starts = g.bot_start
-            link = g.bot_child[:, slot] if g.num_bottom_segments else np.zeros(0, np.int64)
+            link = (g.bot_child[:, slot] if g.num_bottom_segments
+                    else np.zeros(0, np.int64))
             lrev = (g.bot_child_reversed[:, slot].astype(np.int64)
                     if g.num_bottom_segments else np.zeros(0, np.int64))
             dst = ng.top_start
-            ring_count = None
-            if do_dupes and ng.top_paralogy.size and (ng.top_paralogy != NULL_INDEX).any():
-                rc, ro, rm, rf = _build_ring_csr(ng.top_paralogy,
-                                                 ng.top_parent_reversed)
-                ring_count = (rc, ro, rm, rf, ng.top_start)
+            if rings:
+                ring_count = self._rings(nxt) or None
         i0 = np.searchsorted(starts, t_lo, side="right") - 1
         i1 = np.searchsorted(starts, t_hi - 1, side="right") - 1
         counts = np.maximum(i1 - i0 + 1, 0) * (t_hi > t_lo)
@@ -766,26 +898,121 @@ def host_level_totals(aln: Alignment, src: str, tgt: str, lo, hi,
                            cstarts[midx] + offm)
             t_lo2 = np.concatenate([t_lo2, nlo])
             t_hi2 = np.concatenate([t_hi2, nlo + mln])
-        totals.append((split_total, ring_total))
-        t_lo, t_hi = t_lo2, t_hi2
+        return t_lo2, t_hi2, split_total, ring_total
+
+
+def host_level_totals(aln: Alignment, src: str, tgt: str, lo, hi,
+                      do_dupes: bool = True, with_final: bool = False,
+                      sim: "_HostSim | None" = None):
+    """Exact per-level expansion totals for a MAIN-CHAIN path, computed on
+    host with numpy in one vectorized pass per level (mirrors _run_path's
+    split/ring algebra via _HostSim).
+
+    Replaces the device 'sizing pass' — a separate generous-caps compile
+    that dominated round-1 bench time — so the device program compiles
+    ONCE with tight power-of-two caps.  Returns [(split_total, ring_total)]
+    per level; with_final=True returns (totals, final_valid_rows) where
+    final_valid_rows is the exact post-filter fragment count the device
+    compaction will produce (sizes _compact_u32_fixed_jit's static
+    output)."""
+    if sim is None:
+        sim = _HostSim(aln, do_dupes)
+    tree = aln.tree
+    t_lo = np.asarray(lo, np.int64)
+    t_hi = np.asarray(hi, np.int64)
+    totals = []
+    cur = src
+    for nxt in tree.path(src, tgt)[1:]:
+        t_lo, t_hi, sv, rv = sim.level(cur, nxt, t_lo, t_hi,
+                                       rings=do_dupes)
+        totals.append((sv, rv))
         cur = nxt
     if with_final:
         return totals, len(t_lo)
     return totals
 
 
-def tight_caps(path: PathData, totals, slack: float = 1.0):
-    """Quarter-octave bucketed caps from host_level_totals output
-    (main-chain paths only; paralogy branches use map_batch's retry caps)."""
-    assert not path.para, "tight_caps sizes main-chain paths only"
+def host_path_totals(aln: Alignment, src: str, tgt: str, lo, hi,
+                     do_dupes: bool = True,
+                     coalescence_limit: str | None = None,
+                     sim: "_HostSim | None" = None):
+    """Exact expansion totals for the FULL _run_path traversal order —
+    up levels, paralogy branches above the MRCA (coalescence limit,
+    reference mapRecursiveParalogies halSegmentMapper.cpp:525-576), then
+    main down levels on the unioned fragment set.  One (sv, rv) entry per
+    cap _run_path consumes, so caps_from_totals sizes every program
+    exactly and device overflow becomes a hard invariant violation."""
+    if sim is None:
+        sim = _HostSim(aln, do_dupes)
+    tree = aln.tree
+    mrca = tree.lca(src, tgt)
+    limit = coalescence_limit or mrca
+    chain = [mrca]
+    anc = mrca
+    while anc != limit:
+        anc = tree.parent(anc)
+        if anc is None:
+            raise ValueError("coalescence limit %s is not an ancestor of "
+                             "the MRCA %s" % (limit, mrca))
+        chain.append(anc)
+    t_lo = np.asarray(lo, np.int64)
+    t_hi = np.asarray(hi, np.int64)
+    totals = []
+    cur = src
+    while cur != mrca:
+        nxt = tree.parent(cur)
+        t_lo, t_hi, sv, rv = sim.level(cur, nxt, t_lo, t_hi, rings=do_dupes)
+        totals.append((sv, rv))
+        cur = nxt
+    if do_dupes and limit != mrca:
+        branches = [(t_lo, t_hi)]
+        g_lo, g_hi = t_lo, t_hi
+        for k in range(1, len(chain)):
+            g_lo, g_hi, sv, rv = sim.level(chain[k - 1], chain[k], g_lo,
+                                           g_hi, rings=False)
+            totals.append((sv, rv))
+            h_lo, h_hi = g_lo, g_hi
+            for j in range(k - 1, -1, -1):
+                h_lo, h_hi, sv, rv = sim.level(chain[j + 1], chain[j], h_lo,
+                                               h_hi, rings=True)
+                totals.append((sv, rv))
+            branches.append((h_lo, h_hi))
+        t_lo = np.concatenate([b[0] for b in branches])
+        t_hi = np.concatenate([b[1] for b in branches])
+    if cur != tgt:
+        for nxt in tree.path(cur, tgt)[1:]:
+            t_lo, t_hi, sv, rv = sim.level(cur, nxt, t_lo, t_hi,
+                                           rings=do_dupes)
+            totals.append((sv, rv))
+            cur = nxt
+    return totals, len(t_lo)
+
+
+def caps_from_totals(path: PathData, totals, slack: float = 1.0):
+    """Quarter-octave bucketed caps for the FULL traversal (up levels,
+    paralogy branches, main down levels) from host_path_totals output —
+    one cap per level in _run_path's consumption order."""
+    seq = list(path.levels[:path.n_up])
+    for (up, downs) in path.para:
+        seq.append(up)
+        seq.extend(downs)
+    seq.extend(path.levels[path.n_up:])
+    assert len(seq) == len(totals), (len(seq), len(totals))
     caps = []
-    for level, (sv, rv) in zip(path.levels, totals):
+    for level, (sv, rv) in zip(seq, totals):
         c = _bucket_cap(int(sv * slack))
         if level.kind == "down" and level.max_ring:
             caps.append((c, _bucket_cap(int(rv * slack))))
         else:
             caps.append(c)
     return tuple(caps)
+
+
+def tight_caps(path: PathData, totals, slack: float = 1.0):
+    """Quarter-octave bucketed caps from host_level_totals output
+    (main-chain paths only; full paths use caps_from_totals)."""
+    assert not path.para, "tight_caps sizes main-chain paths only"
+    return caps_from_totals(path, totals, slack)
 
 
 def map_batch(path: PathData, lo, hi, owner=None, cap_mult: int = 4):
