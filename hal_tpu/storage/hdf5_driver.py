@@ -29,6 +29,8 @@ both ways (studied from /root/reference/api/hdf5_impl/):
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from hal_tpu.constants import HAL_VERSION, NULL_INDEX
@@ -82,8 +84,13 @@ def _open_relaxed(path: str):
     datatype unless H5Pset_relax_file_integrity_checks is applied to the
     file-access property list.  h5py does not wrap the call, so we reach the
     C symbol via ctypes; when unavailable we fall back to a plain open.
+    Accepts a file-like object (e.g. storage.remote.BlockFile) as well:
+    h5py opens it directly, giving block-granular remote reads.
     """
     import h5py
+
+    if not isinstance(path, (str, bytes, os.PathLike)):
+        return h5py.File(path, "r")
 
     try:
         import ctypes
@@ -132,7 +139,7 @@ def _read_seqnames(grp) -> list[str]:
 
 def load(path: str) -> Alignment:
     f = _open_relaxed(path)
-    aln = Alignment(path=path)
+    aln = Alignment(path=path if isinstance(path, str) else None)
     # tree
     tree_str = ""
     if "Phylogeny" in f:

@@ -104,3 +104,104 @@ def test_remote_readonly(served_halz):
     _aln, url, _h = served_halz
     with pytest.raises(ValueError):
         open_alignment(url, mode="w")
+
+
+# ----------------------------------------------------- block-granular hdf5
+
+class RangeHandler(SimpleHTTPRequestHandler):
+    """SimpleHTTPRequestHandler with HTTP Range support (real servers have
+    it; the stdlib one does not), plus transfer accounting."""
+
+    served_bytes = [0]
+
+    def log_message(self, *a):
+        pass
+
+    def do_GET(self):
+        rng = self.headers.get("Range")
+        path = self.translate_path(self.path)
+        try:
+            with open(path, "rb") as f:
+                data = f.read()
+        except OSError:
+            self.send_error(404)
+            return
+        if rng and rng.startswith("bytes="):
+            s, e = rng[6:].split("-")
+            s = int(s)
+            e = min(int(e), len(data) - 1) if e else len(data) - 1
+            body = data[s:e + 1]
+            self.send_response(206)
+            self.send_header("Content-Range",
+                             "bytes %d-%d/%d" % (s, e, len(data)))
+        else:
+            body = data
+            self.send_response(200)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+        type(self).served_bytes[0] += len(body)
+
+
+@pytest.fixture(scope="module")
+def served_hdf5(tmp_path_factory):
+    root = tmp_path_factory.mktemp("remote_h5")
+    aln = create_random_alignment(seed=12, max_genomes=16, min_genomes=12,
+                                  mean_degree=2.0, min_segments=2000,
+                                  max_segments=3000, min_segment_length=8,
+                                  max_segment_length=40, fast_dna=True)
+    save_alignment(aln, str(root / "t.hal"), fmt="hdf5")
+    handler = type("RH", (RangeHandler,), {"served_bytes": [0]})
+    os_dir = str(root)
+    srv = HTTPServer(("127.0.0.1", 0),
+                     lambda *a, **kw: handler(*a, directory=os_dir, **kw))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    url = "http://127.0.0.1:%d/t.hal" % srv.server_address[1]
+    yield aln, url, handler, os.path.getsize(str(root / "t.hal"))
+    srv.shutdown()
+
+
+def test_block_file_reads(served_hdf5):
+    from hal_tpu.storage.remote import BlockFile
+
+    aln, url, handler, size = served_hdf5
+    bf = BlockFile(url, block_size=4096)
+    assert bf.size == size
+    import urllib.request as ur
+
+    whole = ur.urlopen(url).read()
+    bf.seek(17)
+    assert bf.read(10000) == whole[17:10017]
+    bf.seek(-5, 2)
+    assert bf.read() == whole[-5:]
+    # cached blocks are not refetched
+    n = bf.requests
+    bf.seek(17)
+    bf.read(1000)
+    assert bf.requests == n
+
+
+def test_remote_hdf5_block_granular_liftover(served_hdf5):
+    """The UDC contract (reference api/impl/udc2.c, README.md:126-131):
+    lift one interval against a remote .hal and fetch only a fraction of
+    the file — untouched genomes never cross the wire."""
+    aln, url, handler, size = served_hdf5
+    remote = open_alignment(url)
+    bf = getattr(remote, "remote_file", None)
+    assert bf is not None, "remote hdf5 must use the block-granular path"
+    assert remote.get_newick_tree() == aln.get_newick_tree()
+
+    from hal_tpu.ops import segmap_host as sm
+
+    leaves = [n for n in sorted(aln.genome_names()) if aln.tree.is_leaf(n)]
+    src, tgt = leaves[0], leaves[-1]
+    g = remote.open_genome(src)
+    lo = np.array([g.length // 3], np.int64)
+    hi = lo + min(20, g.length // 4)
+    frags = sm.map_source(remote, src, lo, hi, tgt, do_dupes=True)
+    ref = sm.map_source(aln, src, lo, hi, tgt, do_dupes=True)
+    assert np.array_equal(frags.tgt_lo, ref.tgt_lo)
+    assert bf.bytes_fetched < size // 2, \
+        "block-granular open fetched %d of %d bytes" % (bf.bytes_fetched,
+                                                        size)
