@@ -71,6 +71,36 @@ def test_hal2assemblyhub(hal, tmp_path):
     assert os.path.exists(os.path.join(out, g, "chrom.sizes"))
 
 
+def test_hal2assemblyhub_lod_manifest(hal, tmp_path):
+    """--lod wires the LOD series into the hub with the browser-contract
+    manifest (blockViz/inc/halBlockViz.h:108-125): hub-relative paths,
+    '0 <hal>' first, 'N lod/...' after; snakes point at ../lod.txt."""
+    out = str(tmp_path / "hub_lod")
+    r = run_tool("hal2assemblyHub", hal, out, "--lod", "--maxBlock", "10",
+                 "--numProc", "2", "--alignability")
+    assert r.returncode == 0, r.stderr
+    lod = open(os.path.join(out, "lod.txt")).read().splitlines()
+    assert lod[0] == "0 " + os.path.basename(hal)
+    assert len(lod) > 1 and all(ln.split()[1].startswith("lod/")
+                                for ln in lod[1:])
+    for ln in lod[1:]:
+        assert os.path.exists(os.path.join(out, ln.split()[1]))
+    assert os.path.exists(os.path.join(out, os.path.basename(hal)))
+    assert os.path.exists(os.path.join(out, "groups.txt"))
+    assert os.path.exists(os.path.join(out, "documentation", "hub.html"))
+    gtxt = open(os.path.join(out, "genomes.txt")).read()
+    assert "htmlPath" in gtxt and "groups groups.txt" in gtxt
+    gdirs = [d for d in os.listdir(out)
+             if os.path.isdir(os.path.join(out, d)) and d not in
+             ("lod", "documentation")]
+    g = gdirs[0]
+    tdb = open(os.path.join(out, g, "trackDb.txt")).read()
+    assert "bigDataUrl ../lod.txt" in tdb
+    assert "track alignability" in tdb
+    assert os.path.exists(os.path.join(out, g, g + ".alignability.wig"))
+    assert os.path.exists(os.path.join(out, g, "description.html"))
+
+
 def test_comparison_hub(hal, tmp_path):
     out = str(tmp_path / "chub")
     r = run_tool("halGenerateComparisonHub", out, hal, hal, "--labels", "x,y")
