@@ -54,6 +54,61 @@ def aligned_bases(hal: str) -> tuple:
     return total, canon
 
 
+def blockviz_fidelity(base_hal: str, lod_hal: str, step: int,
+                      n_queries: int = 16, seed: int = 0):
+    """Simulated browser queries at the lengths this level serves (the
+    reference's own quality check, blockViz/tests/blockVizBenchmark.py):
+    query windows of ~4*step bases, get_blocks_in_target_range against
+    LOD0 and the level, fidelity = covered target bases recovered.
+
+    Returns (mean fidelity, mean LOD0 blocks/query, mean level blocks/query).
+    """
+    import numpy as np
+
+    from hal_tpu import blockviz as bv
+
+    h0 = bv.hal_open(base_hal)
+    hl = bv.hal_open(lod_hal)
+    aln = h0.alignment()
+    leaves = [n for n in sorted(aln.genome_names()) if aln.tree.is_leaf(n)
+              and aln.open_genome(n).length > 0]
+    if len(leaves) < 2:
+        return float("nan"), 0.0, 0.0
+    t_species, q_species = leaves[0], leaves[-1]
+    tg = aln.open_genome(t_species)
+    chrom = tg.seq_names[0]
+    clen = int(tg.seq_start[1] - tg.seq_start[0])
+    rng = np.random.default_rng(seed)
+    qlen = min(max(4 * step, 64), clen)
+    fid = []
+    n0 = nl = 0
+
+    def covered(handle):
+        blocks, _ = bv.get_blocks_in_target_range(
+            handle, q_species, t_species, chrom, start, start + qlen)
+        iv = sorted((b.t_start, b.t_start + b.size) for b in blocks)
+        tot = 0
+        hi = -1
+        for a, b in iv:
+            a = max(a, hi)
+            if b > a:
+                tot += b - a
+                hi = b
+            hi = max(hi, b)
+        return tot, len(blocks)
+
+    for _ in range(n_queries):
+        start = int(rng.integers(0, max(clen - qlen, 1)))
+        c0, k0 = covered(h0)
+        cl, kl = covered(hl)
+        n0 += k0
+        nl += kl
+        if c0 > 0:
+            fid.append(min(cl / c0, 1.0))
+    mean_fid = sum(fid) / len(fid) if fid else float("nan")
+    return mean_fid, n0 / n_queries, nl / n_queries
+
+
 def run(argv=None):
     p = make_parser("halLodBenchmark",
                     "Benchmark halLodExtract across step sizes")
@@ -63,6 +118,9 @@ def run(argv=None):
                    help="comma list of scale steps")
     p.add_argument("--doMaf", action="store_true",
                    help="also export MAF per level and count columns")
+    p.add_argument("--doBlockViz", action="store_true",
+                   help="browser-query fidelity vs LOD0 per level "
+                        "(reference blockVizBenchmark.py)")
     p.add_argument("--keepSequences", action="store_true")
     o = p.parse_args(argv)
     if o.doMaf:
@@ -80,6 +138,8 @@ def run(argv=None):
               "segRatio, alignedBases, coverage")
     if o.doMaf:
         out.write(", mafLines")
+    if o.doBlockViz:
+        out.write(", queryFidelity, blocks0/q, blocksL/q")
     out.write("\n")
     for step in [int(s) for s in o.steps.split(",") if s]:
         lod = os.path.join(o.outDir, "lod%d.hal" % step)
@@ -104,6 +164,9 @@ def run(argv=None):
                                 lod, "/dev/stdout"], stdout=f, check=True)
             with open(maf) as f:
                 row += ", %d" % sum(1 for _ in f)
+        if o.doBlockViz:
+            fid, b0, bl = blockviz_fidelity(o.hal, lod, step)
+            row += ", %.4f, %.1f, %.1f" % (fid, b0, bl)
         out.write(row + "\n")
 
 

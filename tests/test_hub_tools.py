@@ -139,3 +139,28 @@ def test_blockviz_benchmark(hal):
     lines = r.stdout.splitlines()
     assert lines[0].startswith("length, target")
     assert len(lines) > 1
+
+
+def test_lod_benchmark_blockviz_fidelity(hal, tmp_path):
+    """--doBlockViz adds the browser-query fidelity column (reference
+    blockVizBenchmark.py quality check): fidelity <= 1, fine steps high."""
+    out = str(tmp_path / "lodb")
+    r = run_tool("halLodBenchmark", hal, out, "--steps", "4",
+                 "--keepSequences", "--doBlockViz")
+    assert r.returncode == 0, r.stderr
+    lines = [ln for ln in r.stdout.splitlines() if ln and not ln.startswith("#")]
+    assert "queryFidelity" in lines[0]
+    vals = lines[1].split(", ")
+    fid = float(vals[lines[0].split(", ").index("queryFidelity")])
+    assert 0.0 <= fid <= 1.0
+
+
+def test_maf_mutations_counts():
+    import io
+
+    from hal_tpu.tools.mafMutations import count_maf
+
+    maf = ("a\ns\tr.c\t0\t5\t+\t10\tACG-TA\ns\tq.c\t0\t5\t+\t10\tACC-TG\n"
+           "s\tp.c\t2\t4\t-\t10\tA-GGTC\n\n"
+           "a\ns\tr.c\t5\t3\t+\t10\tAAA\ns\tq.c\t5\t3\t+\t10\taaG\n")
+    assert count_maf(io.StringIO(maf)) == 7
