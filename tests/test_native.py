@@ -133,3 +133,45 @@ def test_blockviz_c_abi(tmp_path):
     assert r.returncode == 0, r.stderr.decode()[-1000:]
     want = open("/root/reference/blockViz/tests/expected/blockVizHdf5Tests.out", "rb").read()
     assert r.stdout == want
+
+
+def test_blockviz_bed_maf_drivers(tmp_path):
+    """blockVizBed / blockVizMaf equivalents (reference blockViz/Makefile
+    test drivers): C programs over the dlopen'd C ABI printing BED and
+    pairwise MAF for a queried target range."""
+    import shutil
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    lib = os.path.join(repo, "native", "libhalblockviz.so")
+    if shutil.which("gcc") is None:
+        pytest.skip("no C compiler")
+    if not os.path.exists(lib):
+        pytest.skip("libhalblockviz.so not built")
+
+    from hal_tpu.randgen_exact import create_preset_alignment_exact
+    from hal_tpu.storage import hdf5_driver
+
+    hal = tmp_path / "bv2.hal"
+    hdf5_driver.save(create_preset_alignment_exact(
+        "small", 0, min_segment_length=3000, max_segment_length=5000),
+        str(hal))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    for name, extra in (("blockviz_bed", ["0", "1"]), ("blockviz_maf", [])):
+        src = os.path.join(repo, "native", "tests", name + ".c")
+        exe = tmp_path / name
+        subprocess.run(["gcc", "-O2", "-o", str(exe), src, "-ldl"],
+                       check=True)
+        r = subprocess.run([str(exe), lib, str(hal), "Genome_2", "Genome_0",
+                            "Genome_0_seq", "0", "3000"] + extra,
+                           capture_output=True, env=env, timeout=300)
+        assert r.returncode == 0, (name, r.stderr.decode()[-800:])
+        out = r.stdout.decode()
+        assert out.strip(), name
+        if name == "blockviz_bed":
+            line = out.splitlines()[0].split("\t")
+            assert len(line) == 6 and line[0].startswith("Genome_2")
+        else:
+            assert out.startswith("##maf version=1")
+            assert "\ns\tGenome_0.Genome_0_seq\t" in out
