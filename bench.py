@@ -236,27 +236,33 @@ def main():
                                          with_final=True)
     out_cols = sj._bucket_cap(final_rows)
     seq_grid = sj.target_seq_grid(aln.open_genome(tgt))
-    res = sj._runs_packed_jit(F, lo_d, seq_grid, out_cols, LEN_BITS)
-    assert not fetch_scalar(res[6]), "packed runs overflow"  # warm compile
+    wire0, tot0, ovf0 = sj._runs_packed_jit(F, lo_d, seq_grid, out_cols,
+                                            LEN_BITS)
+    assert not fetch_scalar(ovf0), "packed runs overflow"  # warm compile
+
+    # tunnel bandwidth right now (the e2e denominator's health): one
+    # wire-sized fetch, timed — e2e regressions split into kernel vs link
+    _ = np.asarray(wire0)
+    t0 = time.time()
+    wire_np = np.asarray(wire0)
+    d2h_mb_s = wire_np.nbytes / (time.time() - t0) / 1e6
+    sys.stderr.write("tunnel D2H now: %.1f MB/s (%.1f MB probe)\n"
+                     % (d2h_mb_s, wire_np.nbytes / 1e6))
+
     t0 = time.time()
     pending = []
     for _ in range(TIMED_ITERS):
         F, bound, ovf, _ = sj._map_batch_jit(path, lo_d, hi_d, own_d, caps)
         pending.append(sj._runs_packed_jit(F, lo_d, seq_grid, out_cols,
                                            LEN_BITS))
-    # stacked drain: one fetch per field across every batch
-    tlo_all = np.asarray(jnp.stack([p[0] for p in pending]))
-    pack_all = np.asarray(jnp.stack([p[1] for p in pending]))
-    rev_all = np.asarray(jnp.stack([p[2] for p in pending]))
-    cnt_all = np.asarray(jnp.stack([p[3] for p in pending]))
-    dup_all = np.asarray(jnp.stack([p[4] for p in pending]))
-    tot_all = np.asarray(jnp.stack([p[5] for p in pending]))
-    ovf_all = np.asarray(jnp.stack([p[6] for p in pending]))
+    # stacked drain: ONE wire fetch for every batch + one flags fetch
+    wires = np.asarray(jnp.stack([p[0] for p in pending]))
+    tot_all = np.asarray(jnp.stack([p[1] for p in pending]))
+    ovf_all = np.asarray(jnp.stack([p[2] for p in pending]))
     e2e = (time.time() - t0) / TIMED_ITERS
     assert not ovf_all.any(), "packed runs overflow in timed loop"
     k = int(tot_all[-1])
-    nbytes = (tlo_all.nbytes + pack_all.nbytes + rev_all.nbytes
-              + cnt_all.nbytes + dup_all.nbytes) // TIMED_ITERS
+    nbytes = wires.nbytes // TIMED_ITERS
     e2e_rate = N_INTERVALS / e2e
     sys.stderr.write("device end-to-end (run-merged, pipelined): %.4fs/batch "
                      "(%d runs from %d fragments, %.1f MB/batch) -> %.0f "
@@ -267,8 +273,7 @@ def main():
     # honesty check: decoded runs equal the host's extract_runs (the
     # reference merge semantics) on a sample of owners of the last batch
     s_lo_d, s_hi_d, t_lo_d, t_hi_d, rev_d, own_d2, dupes_d = \
-        sj.decode_runs_packed(tlo_all[-1], pack_all[-1], rev_all[-1],
-                              cnt_all[-1], dup_all[-1], k, lo, LEN_BITS)
+        sj.decode_runs_packed(wires[-1], k, lo, out_cols, LEN_BITS)
     from hal_tpu.ops import segmap_host as sm
     from hal_tpu.ops.liftover import extract_runs
 
@@ -412,6 +417,7 @@ def main():
                           if cpp_rate else "host_numpy"),
         "compute_intervals_per_s": round(compute_rate, 1),
         "e2e_pct_of_compute": round(100.0 * e2e_rate / compute_rate, 1),
+        "d2h_mb_s": round(d2h_mb_s, 1),
         "columns_per_s": round(cols_rate, 1),
         "columns_per_s_hal2maf": round(maf_rate, 1),
     }))

@@ -716,19 +716,38 @@ def _runs_packed_jit(F, lo, seq_grid, out_cols, len_bits):
     in_run = jnp.arange(out_cols, dtype=jnp.int32) < run_total
     own_lo = jnp.take(lo.astype(u), jnp.clip(out_own, 0, n_own - 1))
     s_off = jnp.where(in_run, out_slo - own_lo, u(0))
-    pack = (s_off << len_bits | jnp.where(in_run, out_len, u(0))).astype(
-        jnp.uint16)
-    rev_bits = jnp.packbits(
-        jnp.where(in_run, out_rev, u(0)).astype(jnp.uint8), bitorder="little")
-    dupe_bits = jnp.packbits((dup_own > 0).astype(jnp.uint8),
-                             bitorder="little")
+    pack = s_off << len_bits | jnp.where(in_run, out_len, u(0))
     overflow = ((run_total > out_cols)
                 | jnp.any(counts32 > 255)
                 | jnp.any(in_run & (out_len >= (u(1) << len_bits)))
                 | jnp.any(in_run & (s_off >= (u(1) << (16 - len_bits)))))
-    return (jnp.where(in_run, out_tlo, u(0)), pack, rev_bits,
-            counts32.astype(jnp.uint8), dupe_bits,
-            run_total.astype(jnp.int32), overflow)
+
+    # ---- single u32 wire buffer (ONE D2H fetch per batch): t_lo words,
+    # u16 pack pairs, rev bitset, per-owner u8 counts, dupe bitset — all
+    # little-endian within words so the host decodes with numpy views.
+    def padto(v, m):
+        r = (-v.shape[0]) % m
+        return jnp.pad(v, (0, r)) if r else v
+
+    def bits32(v):  # 0/1 -> packed u32 words, little-endian bit order
+        b = padto(v, 32).reshape(-1, 32)
+        return (b << jnp.arange(32, dtype=u)[None, :]).sum(
+            axis=1, dtype=u)
+
+    def bytes4(v):  # u8-range -> packed u32 words, little-endian
+        b = padto(v, 4).reshape(-1, 4)
+        return (b << (jnp.arange(4, dtype=u) * 8)[None, :]).sum(
+            axis=1, dtype=u)
+
+    p2 = padto(pack, 2).reshape(-1, 2)
+    wire = jnp.concatenate([
+        jnp.where(in_run, out_tlo, u(0)),
+        p2[:, 0] | (p2[:, 1] << 16),
+        bits32(jnp.where(in_run, out_rev, u(0))),
+        bytes4(jnp.minimum(counts32, 255).astype(u)),
+        bits32((dup_own > 0).astype(u)),
+    ])
+    return wire, run_total.astype(jnp.int32), overflow
 
 
 def target_seq_grid(genome):
@@ -741,24 +760,40 @@ def target_seq_grid(genome):
     return jnp.asarray(inner, jnp.uint32)
 
 
-def decode_runs_packed(t_lo, pack, rev_bits, counts, dupe_bits, run_total,
-                       lo, len_bits: int):
-    """Host decode of _runs_packed_jit output: returns int64 numpy arrays
-    (s_lo, s_hi, t_lo, t_hi, rev, owner) of the merged runs plus the
-    boolean per-owner needs-host-merge mask."""
+def wire_words(out_cols: int, n_own: int) -> int:
+    """Length in u32 words of _runs_packed_jit's wire buffer."""
+    return (out_cols + (out_cols + 1) // 2 + (out_cols + 31) // 32
+            + (n_own + 3) // 4 + (n_own + 31) // 32)
+
+
+def decode_runs_packed(wire, run_total, lo, out_cols: int, len_bits: int):
+    """Host decode of _runs_packed_jit's single u32 wire buffer: returns
+    int64 numpy arrays (s_lo, s_hi, t_lo, t_hi, rev, owner) of the merged
+    runs plus the boolean per-owner needs-host-merge mask."""
     k = int(run_total)
     n_own = len(lo)
-    counts = np.asarray(counts).astype(np.int64)
+    w = np.asarray(wire)
+    c = out_cols
+    c2 = (c + 1) // 2
+    cb = (c + 31) // 32
+    nb4 = (n_own + 3) // 4
+    tl = w[:c][:k].astype(np.int64)
+    pw = w[c:c + c2]
+    pack = np.empty(c2 * 2, np.int64)
+    pack[0::2] = pw & 0xFFFF
+    pack[1::2] = pw >> 16
+    pack = pack[:k]
+    ln = pack & ((1 << len_bits) - 1)
+    s_off = pack >> len_bits
+    rb = np.unpackbits(w[c + c2:c + c2 + cb].view(np.uint8),
+                       bitorder="little")[:k]
+    counts = w[c + c2 + cb:c + c2 + cb + nb4].view(np.uint8)[
+        :n_own].astype(np.int64)
+    dupes = np.unpackbits(w[c + c2 + cb + nb4:].view(np.uint8),
+                          bitorder="little")[:n_own].astype(bool)
     own = np.repeat(np.arange(n_own, dtype=np.int64), counts)
     assert len(own) == k, (len(own), k)
-    tl = np.asarray(t_lo)[:k].astype(np.int64)
-    pk = np.asarray(pack)[:k].astype(np.int64)
-    ln = pk & ((1 << len_bits) - 1)
-    s_off = pk >> len_bits
-    rb = np.unpackbits(np.asarray(rev_bits), bitorder="little")[:k]
     s_lo = np.asarray(lo, np.int64)[own] + s_off
-    dupes = np.unpackbits(np.asarray(dupe_bits),
-                          bitorder="little")[:n_own].astype(bool)
     return (s_lo, s_lo + ln, tl, tl + ln, rb.astype(np.int64), own, dupes)
 
 

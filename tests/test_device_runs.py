@@ -51,11 +51,12 @@ def _device_runs(aln, src, tgt, lo, hi):
     tg = aln.open_genome(tgt)
     seq_grid = sj.target_seq_grid(tg)
     out_cols = sj._bucket_cap(final)
-    res = sj._runs_packed_jit(F, lo_d, seq_grid, out_cols, LEN_BITS)
-    assert not bool(np.asarray(res[6].reshape(1))[0]), "packed overflow"
+    wire, total, ovf2 = sj._runs_packed_jit(F, lo_d, seq_grid, out_cols,
+                                            LEN_BITS)
+    assert not bool(np.asarray(ovf2.reshape(1))[0]), "packed overflow"
+    assert wire.shape[0] == sj.wire_words(out_cols, n)
     s_lo, s_hi, t_lo, t_hi, rev, own, dupes = sj.decode_runs_packed(
-        res[0], res[1], res[2], res[3], res[4], int(np.asarray(res[5])),
-        lo, LEN_BITS)
+        wire, int(np.asarray(total)), lo, out_cols, LEN_BITS)
 
     seqst = tg.seq_start
 
