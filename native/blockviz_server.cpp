@@ -1095,6 +1095,25 @@ char* halGetDna(int halHandle, char* speciesName, char* chromName,
     return out;
 }
 
+void halFreeSpeciesList(struct hal_species_t* head) {
+    while (head) {
+        struct hal_species_t* nxt = head->next;
+        free(head->name);
+        free(head->parentName);
+        free(head);
+        head = nxt;
+    }
+}
+
+void halFreeChromList(struct hal_chromosome_t* head) {
+    while (head) {
+        struct hal_chromosome_t* nxt = head->next;
+        free(head->name);
+        free(head);
+        head = nxt;
+    }
+}
+
 hal_int_t halGetMaxLODQueryLength(int halHandle) {
     (void)halHandle;
     return 1LL << 62;

@@ -74,3 +74,37 @@ def test_blockviz_free_contract_under_asan(tmp_path):
     r = _run_driver(exe, lib)
     assert r.returncode == 0, (r.stdout + r.stderr).decode()[-2000:]
     assert b"OK" in r.stdout
+
+
+def test_blockviz_server_under_asan(tmp_path):
+    """The Python-free blockViz server, ASan+UBSan instrumented: every
+    entry point exercised (blocks across modes, dupes, species, chroms,
+    dna, error path) with leak detection on."""
+    if not _asan_available():
+        pytest.skip("libasan not available")
+    r = subprocess.run(["make", "-C", NATIVE,
+                        "libhalblockviz_native_asan.so"],
+                       capture_output=True)
+    assert r.returncode == 0, r.stderr.decode()[-800:]
+    lib = os.path.join(NATIVE, "libhalblockviz_native_asan.so")
+
+    from hal_tpu.randgen import create_random_alignment
+    from hal_tpu.storage import save_alignment
+
+    aln = create_random_alignment(seed=9, max_genomes=6, min_genomes=4,
+                                  min_segment_length=4,
+                                  max_segment_length=20, min_segments=10,
+                                  max_segments=40)
+    halz = str(tmp_path / "a.halz")
+    save_alignment(aln, halz, fmt="halz")
+    leaves = [n for n in sorted(aln.genome_names()) if aln.tree.is_leaf(n)]
+    t, q = leaves[0], leaves[-1]
+    chrom = aln.open_genome(t).seq_names[0]
+
+    src = os.path.join(NATIVE, "tests", "blockviz_server_asan_test.c")
+    exe = tmp_path / "bvs_asan"
+    subprocess.run(["gcc", "-O1", "-g", "-fsanitize=address,undefined",
+                    "-o", str(exe), src, "-ldl"], check=True)
+    r = _run_driver(exe, lib, halz, q, t, chrom)
+    assert r.returncode == 0, (r.stdout + r.stderr).decode()[-2500:]
+    assert b"OK" in r.stdout
