@@ -204,6 +204,78 @@ def extract_runs_bulk(tg, s_lo, s_hi, t_lo, t_hi, rev, owner, pos_scale):
     return ro[o2], rl[o2], rh[o2], rs[o2], rr[o2]
 
 
+def bulk_runs_device(aln: Alignment, src: str, tgt: str, lo, hi, tg,
+                     do_dupes=True):
+    """Device-side run extraction for the bulk pipeline: map + merge +
+    transfer-minimal wire download in one device program
+    (segmap_jax._runs_packed_jit — reference BlockMapper::extractSegment
+    done before anything crosses the D2H link).  Clean owners arrive
+    merged; dupe-flagged owners are refined with the exact Python
+    extract_runs.  Returns (owner, run_tgt_lo, run_tgt_hi, run_src_start,
+    run_rev) like extract_runs_bulk, or None when the batch does not fit
+    the 32-bit wire format (coords >= 2^32 or intervals > 255 bp)."""
+    import jax.numpy as jnp
+
+    from hal_tpu.ops import segmap_jax as sj
+
+    lo = np.asarray(lo, np.int64)
+    hi = np.asarray(hi, np.int64)
+    max_len = int((hi - lo).max()) if len(lo) else 0
+    if max_len > 255:
+        return None
+    path = sj.PathData.build(aln, src, tgt, do_dupes=do_dupes)
+    dtype = path.levels[0].grid.dtype if path.levels else jnp.int64
+    if jnp.dtype(dtype) not in (jnp.dtype(jnp.int32), jnp.dtype(jnp.uint32)):
+        return None
+    if path.para:
+        return None  # branch caps need map_batch's retry loop
+    totals, final = sj.host_path_totals(aln, src, tgt, lo, hi,
+                                        do_dupes=do_dupes)
+    caps = sj.caps_from_totals(path, totals)
+    n = len(lo)
+    lo_d = jnp.asarray(lo, dtype)
+    hi_d = jnp.asarray(hi, dtype)
+    own_d = jnp.arange(n, dtype=dtype)
+    F, _bound, ovf, _ = sj._map_batch_jit(path, lo_d, hi_d, own_d, caps)
+    out_cols = sj._bucket_cap(final)
+    wire, total, rovf = sj._runs_packed_jit(F, lo_d, sj.target_seq_grid(tg),
+                                            out_cols, 8)
+    flags = np.asarray(jnp.stack([ovf, rovf]))
+    if flags.any():
+        return None  # capacity/packing overflow: caller falls back
+    s_lo, s_hi, t_lo, t_hi, rev, own, dupes = sj.decode_runs_packed(
+        wire, int(np.asarray(total)), lo, out_cols, 8)
+
+    def seq_of(p):
+        return int(np.searchsorted(tg.seq_start, p, side="right")) - 1
+
+    keep = ~dupes[own]
+    ro = [own[keep]]
+    rl = [t_lo[keep]]
+    rh = [t_hi[keep]]
+    rs = [s_lo[keep]]
+    rr = [rev[keep].astype(np.uint8)]
+    for o in np.flatnonzero(dupes):
+        m = own == o
+        rows = np.unique(np.stack([s_lo[m], s_hi[m], t_lo[m], t_hi[m],
+                                   rev[m]], axis=1), axis=0)
+        fr = sm.atomize(sm.Fragments(rows[:, 0], rows[:, 1], rows[:, 2],
+                                     rows[:, 3], rows[:, 4].astype(np.uint8)))
+        for run in extract_runs(fr, seq_of):
+            ro.append(np.array([o], np.int64))
+            rl.append(np.array([run[0].tgt_lo], np.int64))
+            rh.append(np.array([run[-1].tgt_hi], np.int64))
+            rs.append(np.array([min(run[0].src_lo, run[-1].src_lo)], np.int64))
+            rr.append(np.array([run[0].rev], np.uint8))
+    ro = np.concatenate(ro)
+    rl = np.concatenate(rl)
+    rh = np.concatenate(rh)
+    rs = np.concatenate(rs)
+    rr = np.concatenate(rr)
+    o2 = np.lexsort((rl, rs, ro))
+    return ro[o2], rl[o2], rh[o2], rs[o2], rr[o2]
+
+
 def bulk_liftover_bed3(aln: Alignment, src: str, tgt: str, chroms, starts, ends,
                        strands=None, use_device=False, do_dupes=True,
                        out=None):
@@ -223,11 +295,18 @@ def bulk_liftover_bed3(aln: Alignment, src: str, tgt: str, chroms, starts, ends,
         flip = strands == "-"
         dot = strands == "."
 
-    frags = bulk_map(aln, src, tgt, lo, hi, do_dupes=do_dupes, use_device=use_device)
-    pos_scale = int(max(tg.length, sg.length) + 2)
-    frags = atomize_by_owner(*[np.asarray(a, np.int64) if a.dtype != np.uint8 else a
-                               for a in frags], pos_scale)
-    ro, rl, rh, rs, rr = extract_runs_bulk(tg, *frags, pos_scale)
+    runs = (bulk_runs_device(aln, src, tgt, lo, hi, tg, do_dupes=do_dupes)
+            if use_device else None)
+    if runs is not None:
+        ro, rl, rh, rs, rr = runs
+    else:
+        frags = bulk_map(aln, src, tgt, lo, hi, do_dupes=do_dupes,
+                         use_device=use_device)
+        pos_scale = int(max(tg.length, sg.length) + 2)
+        frags = atomize_by_owner(
+            *[np.asarray(a, np.int64) if a.dtype != np.uint8 else a
+              for a in frags], pos_scale)
+        ro, rl, rh, rs, rr = extract_runs_bulk(tg, *frags, pos_scale)
 
     # format
     tsi = np.searchsorted(tg.seq_start, rl, side="right") - 1

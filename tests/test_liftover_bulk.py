@@ -74,3 +74,36 @@ def test_bulk_device_equals_per_line():
     want = _per_line(aln, src, tgt, chroms, starts, ends)
     got = bulk_liftover_bed3(aln, src, tgt, chroms, starts, ends, use_device=True)
     assert got == want
+
+
+def test_bulk_device_runs_path_matches_host():
+    """use_device routes through bulk_runs_device (device-side merge +
+    wire download); output text must equal the host pipeline's exactly."""
+    from hal_tpu.ops.liftover_bulk import bulk_liftover_bed3, bulk_runs_device
+    from hal_tpu.randgen import create_random_alignment
+
+    aln = create_random_alignment(seed=27, max_genomes=7, min_genomes=5,
+                                  mean_degree=1.4, min_segment_length=5,
+                                  max_segment_length=30, min_segments=20,
+                                  max_segments=90, store_dna=False)
+    leaves = [n for n in sorted(aln.genome_names()) if aln.tree.is_leaf(n)
+              and aln.open_genome(n).length > 40]
+    if len(leaves) < 2:
+        pytest.skip("fixture too small")
+    src, tgt = leaves[0], leaves[-1]
+    sg = aln.open_genome(src)
+    tg = aln.open_genome(tgt)
+    rng = np.random.default_rng(5)
+    n = 128
+    lo = rng.integers(0, max(sg.length - 20, 1), n).astype(np.int64)
+    hi = np.minimum(lo + rng.integers(1, 20, n), sg.length)
+    # the gate must actually take the device-runs path on this fixture
+    assert bulk_runs_device(aln, src, tgt, lo, hi, tg) is not None
+    chroms = [sg.seq_names[int(np.searchsorted(sg.seq_start, p, side="right")) - 1]
+              for p in lo]
+    base = np.array([sg.seq_start[sg.sequence_index(c)] for c in chroms])
+    dev = bulk_liftover_bed3(aln, src, tgt, chroms, lo - base, hi - base,
+                             use_device=True)
+    host = bulk_liftover_bed3(aln, src, tgt, chroms, lo - base, hi - base,
+                              use_device=False)
+    assert dev == host
