@@ -240,14 +240,17 @@ def main():
                                             LEN_BITS)
     assert not fetch_scalar(ovf0), "packed runs overflow"  # warm compile
 
-    # tunnel bandwidth right now (the e2e denominator's health): one
-    # wire-sized fetch, timed — e2e regressions split into kernel vs link
-    _ = np.asarray(wire0)
+    # tunnel bandwidth right now (the e2e denominator's health): time the
+    # FIRST host fetch of a fresh wire-sized device array (jax caches the
+    # npy copy after one np.asarray, so sync on a different array first) —
+    # e2e regressions then split into kernel vs link
+    probe = wire0 + jnp.uint32(1)
+    _ = fetch_scalar(tot0)  # sync: kernel + probe computed
     t0 = time.time()
-    wire_np = np.asarray(wire0)
-    d2h_mb_s = wire_np.nbytes / (time.time() - t0) / 1e6
+    probe_np = np.asarray(probe)
+    d2h_mb_s = probe_np.nbytes / (time.time() - t0) / 1e6
     sys.stderr.write("tunnel D2H now: %.1f MB/s (%.1f MB probe)\n"
-                     % (d2h_mb_s, wire_np.nbytes / 1e6))
+                     % (d2h_mb_s, probe_np.nbytes / 1e6))
 
     t0 = time.time()
     pending = []
