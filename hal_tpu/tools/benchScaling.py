@@ -94,9 +94,30 @@ def run(argv=None):
         if base_rate is None:
             base_rate = rate
         eff = rate / (base_rate * nd)
-        rows.append({"devices": nd, "intervals_per_s": round(rate, 1),
-                     "scaling_efficiency": round(eff, 3)})
-        print(json.dumps(rows[-1]))
+        row = {"devices": nd, "intervals_per_s": round(rate, 1),
+               "scaling_efficiency": round(eff, 3)}
+        # shard-local variant (parallel/ring_sharded): tables never
+        # rematerialize; reports the all_to_all routing overhead
+        if nd > 1 and not path.para:
+            from hal_tpu.parallel.ring_sharded import (build_ring_path,
+                                                       make_ring_sharded_step)
+
+            rls = build_ring_path(path, nd)
+            rcaps = tuple((int(per_dev * 8), int(per_dev * 8),
+                           int(per_dev * 16), int(per_dev * 16))
+                          for _ in path.levels)
+            rstep = make_ring_sharded_step(rls, rcaps, mesh)
+            Fr, ovf = rstep(*args)
+            _ = np.asarray(ovf[:1])
+            t0 = time.time()
+            for _i in range(o.iters):
+                Fr, ovf = rstep(*args)
+            _ = np.asarray(ovf[:1])
+            rdt = (time.time() - t0) / o.iters
+            if not np.asarray(ovf).any():
+                row["ring_intervals_per_s"] = round(n / rdt, 1)
+        rows.append(row)
+        print(json.dumps(row))
     if rows:
         print(json.dumps({"metric": "sharded_scaling", "results": rows}))
 
