@@ -258,20 +258,25 @@ def main():
         F, bound, ovf, _ = sj._map_batch_jit(path, lo_d, hi_d, own_d, caps)
         pending.append(sj._runs_packed_jit(F, lo_d, seq_grid, out_cols,
                                            LEN_BITS))
-    # stacked drain: ONE wire fetch for every batch + one flags fetch
-    wires = np.asarray(jnp.stack([p[0] for p in pending]))
+    # phase split: sync on the last batch's scalar (device work done),
+    # then drain — the e2e number decomposes into device vs link time
     tot_all = np.asarray(jnp.stack([p[1] for p in pending]))
+    t_dev = time.time() - t0
+    wires = np.asarray(jnp.stack([p[0] for p in pending]))
     ovf_all = np.asarray(jnp.stack([p[2] for p in pending]))
     e2e = (time.time() - t0) / TIMED_ITERS
+    t_drain = e2e * TIMED_ITERS - t_dev
     assert not ovf_all.any(), "packed runs overflow in timed loop"
     k = int(tot_all[-1])
     nbytes = wires.nbytes // TIMED_ITERS
     e2e_rate = N_INTERVALS / e2e
     sys.stderr.write("device end-to-end (run-merged, pipelined): %.4fs/batch "
                      "(%d runs from %d fragments, %.1f MB/batch) -> %.0f "
-                     "intervals/s (%.0f%% of compute rate)\n"
+                     "intervals/s (%.0f%% of compute rate); split: device "
+                     "%.2fs + drain %.2fs (%.1f MB/s effective)\n"
                      % (e2e, k, final_rows, nbytes / 1e6, e2e_rate,
-                        100.0 * e2e_rate / compute_rate))
+                        100.0 * e2e_rate / compute_rate, t_dev, t_drain,
+                        wires.nbytes / max(t_drain, 1e-9) / 1e6))
 
     # honesty check: decoded runs equal the host's extract_runs (the
     # reference merge semantics) on a sample of owners of the last batch
