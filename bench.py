@@ -161,11 +161,54 @@ def bench_hal2maf():
     return rate, nbytes / 1e6
 
 
+def bench_phylop_device(budget_ok):
+    """Device phyloP LRT fit rate: unique column patterns/s through the
+    compiled golden-section Felsenstein search (hal_tpu.phylop_jax) on
+    the shipped 10-leaf mammals.mod, float32 (the TPU program), plus the
+    numpy fit on a subsample for the speedup.  Skipped when the bench is
+    close to its wall budget (the compile is ~1 min)."""
+    if not budget_ok:
+        sys.stderr.write("phylop: skipped (wall budget)\n")
+        return None
+    import os
+
+    mod_path = "/root/reference/testdata/mammals.mod"
+    if not os.path.exists(mod_path):
+        sys.stderr.write("phylop: skipped (no mammals.mod)\n")
+        return None
+    from hal_tpu.phylop import NeutralModel, score_patterns
+    from hal_tpu.phylop_jax import DevicePhyloP
+
+    mod = NeutralModel.from_mod_file(mod_path)
+    leaves = [n for n in mod.tree.names() if mod.tree.is_leaf(n)]
+    leaf_idx = {n: i for i, n in enumerate(leaves)}
+    rng = np.random.default_rng(5)
+    npat = 1 << 16
+    pats = rng.integers(0, 5, (npat, len(leaves))).astype(np.int64)
+    dev = DevicePhyloP(mod, leaf_idx, "CONACC", dtype=np.float32)
+    t0 = time.time()
+    dev.fit(pats)
+    sys.stderr.write("phylop compile+first fit: %.1fs\n" % (time.time() - t0))
+    t0 = time.time()
+    _, scale, _ = dev.fit(pats)
+    dt = time.time() - t0
+    rate = npat / dt
+    t0 = time.time()
+    score_patterns(mod, leaf_idx, pats[:512], "CONACC")
+    np_rate = 512 / (time.time() - t0)
+    sys.stderr.write("phylop device LRT: %.2fs for %d patterns -> %.0f "
+                     "patterns/s (numpy %.0f/s, %.0fx); fitted-scale mean "
+                     "%.3f\n" % (dt, npat, rate, np_rate, rate / np_rate,
+                                 float(scale.mean())))
+    return rate
+
+
 def main():
     import jax
 
     from hal_tpu.ops import segmap_jax as sj
 
+    t_start = time.time()
     sj.enable_compile_cache()
     dev = jax.devices()[0]
     sys.stderr.write("device: %s\n" % dev)
@@ -412,9 +455,16 @@ def main():
                      % (prep_dt, warm_dt, col_dt, cols, len(scope),
                         cols_rate, counts.mean()))
 
+    # device phyloP LRT (optional extra — skipped if the run is near its
+    # wall budget so the headline metrics always land)
+    phylop_rate = bench_phylop_device(time.time() - t_start < 1100)
+
     # vs_baseline: device end-to-end vs the measured EXTERNAL anchor (the
     # reference-architecture single-core C++ walk); numpy host fallback
-    # only if the native lib is absent.
+    # only if the native lib is absent.  compute_vs_baseline is the same
+    # anchor against the compute-only rate — the tunnel-independent
+    # kernel comparison (the e2e ratio inherits the axon link's health,
+    # see d2h_mb_s and BASELINE.md).
     anchor = cpp_rate if cpp_rate else host_rate
     print(json.dumps({
         "metric": "lifted_intervals_per_s_per_chip",
@@ -424,10 +474,13 @@ def main():
         "baseline_kind": ("cpp_single_core_reference_architecture"
                           if cpp_rate else "host_numpy"),
         "compute_intervals_per_s": round(compute_rate, 1),
+        "compute_vs_baseline": round(compute_rate / anchor, 2),
         "e2e_pct_of_compute": round(100.0 * e2e_rate / compute_rate, 1),
         "d2h_mb_s": round(d2h_mb_s, 1),
         "columns_per_s": round(cols_rate, 1),
         "columns_per_s_hal2maf": round(maf_rate, 1),
+        "phylop_patterns_per_s": (round(phylop_rate, 1)
+                                  if phylop_rate else None),
     }))
 
 

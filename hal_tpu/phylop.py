@@ -228,8 +228,22 @@ def score_patterns(model: NeutralModel, leaf_idx: dict,
             lo = 1.0
         sign_scale, alt_lnl = _fit_scale(model, leaf_idx, patterns, lo, hi)
         informative = (patterns < 4).sum(axis=1) > 0
-    delta = np.maximum(alt_lnl - null_lnl, 0.0)
-    x = 2.0 * delta
+    return scores_from_lrt(alt_lnl - null_lnl, sign_scale, informative,
+                           mode)
+
+
+def scores_from_lrt(delta: np.ndarray, sign_scale: np.ndarray,
+                    informative: np.ndarray, mode: str) -> np.ndarray:
+    """LRT delta-lnl -> phyloP score (shared by the numpy and device
+    fits): chi^2_1 upper-tail p (CON/ACC: 50:50 mixture with a point mass
+    at zero), score = -log10(p) floored at 1e-20, CONACC acceleration
+    negative, uninformative columns zero (halPhyloP.cpp:322-346)."""
+    x = 2.0 * np.maximum(delta, 0.0)
+    # columns whose likelihood is flat in the scale (e.g. a single known
+    # species) fit delta = 0 up to optimizer noise; an epsilon there flips
+    # the CON/ACC point mass (score 0 vs 0.301).  Snap to the boundary —
+    # phast's optimizer tolerance has the same effect.
+    x = np.where(x < 1e-9, 0.0, x)
     sf = np.array([math.erfc(math.sqrt(v / 2.0)) for v in x])
     if mode in ("NNEUT", "CONACC"):
         pval = sf
@@ -240,7 +254,7 @@ def score_patterns(model: NeutralModel, leaf_idx: dict,
     score = -np.log10(pval)
     if mode == "CONACC":
         score = np.where(sign_scale > 1.0, -score, score)
-    return np.where(informative, score, 0.0)
+    return np.where(informative, score + 0.0, 0.0)  # -0.0 -> 0.0
 
 
 class PhyloPScorer:
@@ -249,9 +263,11 @@ class PhyloPScorer:
 
     def __init__(self, aln, mod: NeutralModel, mode: str = "CONACC",
                  dup_mask: str = "soft", dup_type: str = "ambiguous",
-                 subtree: str | None = None):
+                 subtree: str | None = None, device: str = "auto"):
         if mode not in ("CONACC", "CON", "ACC", "NNEUT"):
             raise ValueError("unknown phyloP mode " + mode)
+        if device not in ("auto", "on", "off"):
+            raise ValueError("device must be auto, on or off")
         if dup_type not in ("all", "ambiguous"):
             raise ValueError("unknown dupType " + dup_type +
                              ", should be all or ambiguous")
@@ -305,6 +321,35 @@ class PhyloPScorer:
                 raise ValueError("no node named " + subtree)
             self.sub_nodes = frozenset(self.mod.tree.preorder(subtree))
         self._cache: dict = {}
+        # device (TPU) LRT: "auto" compiles the fit to XLA when an
+        # accelerator backend is present and the batch is big enough to
+        # amortize dispatch; "on" forces it (tests run it on CPU-jax);
+        # HALTPU_NO_DEVICE_PHYLOP=1 force-disables (same convention as
+        # HALTPU_NO_NATIVE for the C++ engines)
+        import os
+
+        if os.environ.get("HALTPU_NO_DEVICE_PHYLOP"):
+            device = "off"
+        self.device = device
+        self._dev = None
+
+    def _score_batch(self, pats: np.ndarray) -> np.ndarray:
+        """Score distinct patterns via the device LRT (phylop_jax) or the
+        numpy fit — identical semantics, shared postprocessing."""
+        use_dev = self.device == "on"
+        if self.device == "auto" and len(pats) >= 4096:
+            from hal_tpu.phylop_jax import on_accelerator
+
+            use_dev = on_accelerator()
+        if use_dev:
+            if self._dev is None:
+                from hal_tpu.phylop_jax import DevicePhyloP
+
+                self._dev = DevicePhyloP(self.mod, self.leaf_idx,
+                                         self.mode, self.sub_nodes or None)
+            return self._dev.score_patterns(pats)
+        return score_patterns(self.mod, self.leaf_idx, pats, self.mode,
+                              sub_nodes=self.sub_nodes)
 
     def score_window(self, ref: str, gs: int, ge: int) -> np.ndarray:
         """Scores for reference positions [gs, ge) (genome coords)."""
@@ -347,9 +392,7 @@ class PhyloPScorer:
         keys = [p.tobytes() for p in pats]
         new = [i for i, k in enumerate(keys) if k not in self._cache]
         if new:
-            vals = score_patterns(self.mod, self.leaf_idx,
-                                  pats[new].astype(np.int64), self.mode,
-                                  sub_nodes=self.sub_nodes)
+            vals = self._score_batch(pats[new].astype(np.int64))
             for j, i in enumerate(new):
                 self._cache[keys[i]] = float(vals[j])
         out = np.array([self._cache[k] for k in keys])[inv]

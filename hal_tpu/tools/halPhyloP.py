@@ -40,6 +40,11 @@ def run(argv=None):
                         "subtree (second scale parameter)")
     p.add_argument("--prec", type=int, default=3,
                    help="wiggle score decimal precision")
+    p.add_argument("--device", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="run the likelihood fits as a compiled XLA "
+                        "program (hal_tpu.phylop_jax); auto engages it "
+                        "on accelerator backends")
     add_storage_options(p)
     o = p.parse_args(argv)
 
@@ -48,7 +53,8 @@ def run(argv=None):
     aln = open_alignment(o.halPath)
     mod = NeutralModel.from_mod_file(o.modFile)
     scorer = PhyloPScorer(aln, mod, mode=o.mode, dup_mask=o.dupMask,
-                          dup_type=o.dupType, subtree=o.subtree or None)
+                          dup_type=o.dupType, subtree=o.subtree or None,
+                          device=o.device)
     g = aln.open_genome(o.refGenome)
     out = sys.stdout if o.wigFile in ("stdout", "-") else open(o.wigFile, "w")
 
