@@ -40,7 +40,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from hal_tpu.ops.segmap_jax import PathData
+from hal_tpu.ops.segmap_jax import (PathData, _expand_owner,
+                                    _rows)
 
 
 def _pad_to(a: np.ndarray, n: int, fill) -> np.ndarray:
@@ -86,23 +87,6 @@ def build_ring_path(path: PathData, D: int):
     return [RingLevel(lv, D) for lv in path.levels]
 
 
-def _rows(M, r, c):
-    flat = M.reshape(r * c)
-    return [jax.lax.slice_in_dim(flat, f * c, (f + 1) * c) for f in range(r)]
-
-
-def _expand(counts, cap_out):
-    """Owner index for a dense counts-expansion (scatter-max + cummax)."""
-    counts = counts.astype(jnp.int32)
-    offs = jnp.cumsum(counts) - counts
-    total = offs[-1] + counts[-1]
-    idx = jnp.where(counts > 0, offs, cap_out)
-    marks = jnp.zeros(cap_out, jnp.int32).at[idx].max(
-        jnp.arange(counts.shape[0], dtype=jnp.int32), mode="drop")
-    own = jax.lax.cummax(marks)
-    return own, offs, total
-
-
 def make_ring_sharded_step(ring_levels, caps, mesh: Mesh, axis: str = "data"):
     """Jitted SPMD step over shard-local tables.
 
@@ -135,23 +119,27 @@ def make_ring_sharded_step(ring_levels, caps, mesh: Mesh, axis: str = "data"):
         i0 = jnp.searchsorted(values, F[2], side="right").astype(dt)
         i1 = jnp.searchsorted(values, F[3], side="left").astype(dt)
         counts = jnp.where(valid, i1 - i0 + 1, 0)
-        own, offs, total = _expand(counts, cap_out)
-        G = jnp.concatenate([F[:7], offs[None, :].astype(dt), i0[None, :],
-                             counts[None, :].astype(dt)], axis=0)
-        R = _rows(jnp.take(G, own, axis=1), 10, cap_out)
+        own, offs, total = _expand_owner(counts, cap_out)
+        # pack ONLY the rows the expansion reads (s_hi is re-derived and
+        # validity re-computed): 8 rows keeps the gather temp inside the
+        # T(8,128) sublane tile (CLAUDE.md packing rule)
+        G = jnp.stack([F[0], F[2], F[3], F[4], F[5], offs.astype(dt), i0,
+                       counts.astype(dt)], axis=0)
+        R = _rows(jnp.take(G, own, axis=1))
+        r_slo, r_tlo, r_thi, r_rev, r_own, r_offs, r_i0, r_cnt = R
         j = jnp.arange(cap_out, dtype=dt)
-        k = j - R[7]
+        k = j - r_offs
         first = k == 0
-        last = k == R[9] - 1
-        ci = R[8] + k
-        lo = jnp.where(first, R[2],
+        last = k == r_cnt - 1
+        ci = r_i0 + k
+        lo = jnp.where(first, r_tlo,
                        jnp.take(values, jnp.clip(ci - 1, 0, nv - 1)))
-        hi = jnp.where(last, R[3],
+        hi = jnp.where(last, r_thi,
                        jnp.take(values, jnp.clip(ci, 0, nv - 1)))
         v = (j < total.astype(dt)) & (hi > lo)
-        adv = jnp.where(R[4] > 0, R[3] - hi, lo - R[2])
-        s_lo = R[0] + adv
-        Fout = jnp.stack([s_lo, s_lo + (hi - lo), lo, hi, R[4], R[5],
+        adv = jnp.where(r_rev > 0, r_thi - hi, lo - r_tlo)
+        s_lo = r_slo + adv
+        Fout = jnp.stack([s_lo, s_lo + (hi - lo), lo, hi, r_rev, r_own,
                           v.astype(dt), jnp.zeros_like(s_lo)], axis=0)
         return Fout, total > cap_out
 
@@ -189,14 +177,14 @@ def make_ring_sharded_step(ring_levels, caps, mesh: Mesh, axis: str = "data"):
         i0 = jnp.clip(i0, 0, s - 1)
         i1 = jnp.clip(i1, 0, s - 1)
         counts = jnp.where(valid & (i1 >= i0), i1 - i0 + 1, 0)
-        own, offs, total = _expand(counts, cap_hop)
+        own, offs, total = _expand_owner(counts, cap_hop)
         G = jnp.concatenate([F[:6], offs[None, :].astype(dt),
                              i0[None, :]], axis=0)
-        R = _rows(jnp.take(G, own, axis=1), 8, cap_hop)
+        R = _rows(jnp.take(G, own, axis=1))
         j = jnp.arange(cap_hop, dtype=dt)
         k = j - R[6]
         segi = jnp.clip(R[7] + k, 0, s - 1)
-        ST = _rows(jnp.take(seg, segi, axis=1), 8, cap_hop)
+        ST = _rows(jnp.take(seg, segi, axis=1))
         p_lo = jnp.maximum(R[2], ST[0])
         p_hi = jnp.minimum(R[3], ST[1])
         rev = R[4]
@@ -216,19 +204,19 @@ def make_ring_sharded_step(ring_levels, caps, mesh: Mesh, axis: str = "data"):
             ringtab = arrs["ring"]  # replicated (4, nnz)
             rc = jnp.where(has, ST[5], 0)
             ro = ST[6]
-            own2, offs2, tot2 = _expand(rc, cap_ring)
+            own2, offs2, tot2 = _expand_owner(rc, cap_ring)
             off_row = Fout[2] - Fout[7]
             ln_row = Fout[3] - Fout[2]
             G2 = jnp.concatenate([Fout[:2], off_row[None, :],
                                   ln_row[None, :], Fout[4:6],
                                   offs2[None, :].astype(dt),
                                   ro[None, :]], axis=0)
-            R2 = _rows(jnp.take(G2, own2, axis=1), 8, cap_ring)
+            R2 = _rows(jnp.take(G2, own2, axis=1))
             j2 = jnp.arange(cap_ring, dtype=dt)
             k2 = j2 - R2[6]
             nnz = ringtab.shape[1]
             midx = jnp.clip(R2[7] + k2, 0, nnz - 1)
-            MT = _rows(jnp.take(ringtab, midx, axis=1), 4, cap_ring)
+            MT = _rows(jnp.take(ringtab, midx, axis=1))
             offm = R2[2]
             ln2 = R2[3]
             nlo = jnp.where(MT[2] > 0, MT[1] - offm - ln2, MT[0] + offm)

@@ -234,14 +234,32 @@ def open_remote(url: str):
         # fetched — a browser-scale query against a remote mammal .hal no
         # longer downloads genomes it never reads.  Whole-file download
         # remains the fallback for servers/files the file-object path
-        # cannot serve (e.g. the legacy relaxed-integrity open).
+        # cannot serve.  Genome arrays load LAZILY (first open_genome), so
+        # the fallback must cover the loader too: the legacy
+        # relaxed-integrity open (hdf5_driver._open_relaxed) only applies
+        # to real paths, and such files fail at dataset open — long after
+        # this function returned.
         try:
             bf = BlockFile(url)
             aln = hdf5_driver.load(bf)
-            aln.remote_file = bf  # expose transfer accounting
-            return aln
         except Exception:
             return hdf5_driver.load(fetch_file(url))
+        aln.remote_file = bf  # expose transfer accounting
+        block_loader = aln._loader
+        full = {}
+
+        def loader(name):
+            if "aln" not in full:
+                try:
+                    return block_loader(name)
+                except Exception:
+                    # e.g. legacy datatypes needing the relaxed open —
+                    # download once, serve every genome from the local copy
+                    full["aln"] = hdf5_driver.load(fetch_file(url))
+            return full["aln"]._loader(name)
+
+        aln._loader = loader
+        return aln
 
     import numpy as np
 

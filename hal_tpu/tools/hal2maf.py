@@ -111,10 +111,12 @@ def run(argv=None):
             write_header(out, aln)
 
     g = aln.open_genome(ref)
-    builder = MafBlockBuilder(aln, ref, max_block_len=o.maxBlockLen,
-                              ucsc_names=not o.onlySequenceNames,
-                              print_tree=o.printTree,
-                              keep_empty_ref_blocks=o.keepEmptyRefBlocks or o.maxRefGap == 0)
+    builder = None
+    if native_ex is None:
+        builder = MafBlockBuilder(
+            aln, ref, max_block_len=o.maxBlockLen,
+            ucsc_names=not o.onlySequenceNames, print_tree=o.printTree,
+            keep_empty_ref_blocks=o.keepEmptyRefBlocks or o.maxRefGap == 0)
 
     def sequences():
         """(gs, ge) per convertSequence call (hal2maf.cpp:200-206: --start/

@@ -135,6 +135,52 @@ static std::vector<std::string> json_find_string_list(const std::string& s,
     return out;
 }
 
+// locate genome <name>'s OBJECT in the manifest: the key must sit after
+// the "genomes" map key and be followed by ':' '{' (metadata string
+// VALUES and seq-name lists never are), and the returned span is the
+// matching-brace extent — so a genome name that also appears earlier in
+// the manifest (e.g. as a metadata value, or inside another genome's
+// sequence names) cannot capture the wrong entry
+static bool json_genome_span(const std::string& s, const std::string& name,
+                             size_t& beg, size_t& end) {
+    size_t p = s.find("\"genomes\"");
+    if (p == std::string::npos) p = 0;
+    const std::string key = "\"" + name + "\"";
+    while ((p = s.find(key, p)) != std::string::npos) {
+        size_t q = p + key.size();
+        while (q < s.size() && (s[q] == ' ' || s[q] == '\n' || s[q] == '\t'))
+            ++q;
+        if (q < s.size() && s[q] == ':') {
+            ++q;
+            while (q < s.size() &&
+                   (s[q] == ' ' || s[q] == '\n' || s[q] == '\t'))
+                ++q;
+            if (q < s.size() && s[q] == '{') {
+                int depth = 0;
+                bool in_str = false;
+                for (size_t r = q; r < s.size(); ++r) {
+                    char c = s[r];
+                    if (in_str) {
+                        if (c == '\\') ++r;
+                        else if (c == '"') in_str = false;
+                    } else if (c == '"') {
+                        in_str = true;
+                    } else if (c == '{') {
+                        ++depth;
+                    } else if (c == '}' && --depth == 0) {
+                        beg = q;
+                        end = r + 1;
+                        return true;
+                    }
+                }
+                return false;  // unbalanced braces
+            }
+        }
+        ++p;
+    }
+    return false;
+}
+
 // ------------------------------------------------------------ tree/newick
 struct TreeN {
     std::vector<std::string> names;
@@ -325,10 +371,14 @@ bool AlnN::load(const std::string& dir, std::string& err) {
             G.dna = G.a_dna.u();
             G.dna_n = G.a_dna.n;
         }
-        // seq names from the manifest's genome entry
-        size_t gp = manifest.find("\"" + G.name + "\"");
-        if (gp != std::string::npos)
-            G.seq_names = json_find_string_list(manifest, gp, "seq_names");
+        // seq names from the manifest's genome OBJECT (brace-bounded so a
+        // name occurring earlier — metadata value, another genome's seq
+        // list — cannot capture the wrong entry)
+        size_t gb, ge_;
+        if (json_genome_span(manifest, G.name, gb, ge_)) {
+            std::string obj = manifest.substr(gb, ge_ - gb);
+            G.seq_names = json_find_string_list(obj, 0, "seq_names");
+        }
         while (static_cast<i64>(G.seq_names.size()) < G.n_seq)
             G.seq_names.push_back(G.name + "_seq");
     }
@@ -713,6 +763,19 @@ struct Handle {
 std::mutex g_mutex;  // the reference's global browser-server mutex
 std::vector<std::unique_ptr<Handle>> g_handles;
 
+void set_err(char** errStr, const std::string& msg);
+
+// every entry point validates the handle before indexing g_handles — a
+// stale or failed-open handle (-1) must report, not read out of bounds
+static Handle* checked_handle(int halHandle, char** errStr) {
+    if (halHandle < 0 || halHandle >= static_cast<int>(g_handles.size()) ||
+        !g_handles[halHandle]) {
+        set_err(errStr, "bad handle");
+        return nullptr;
+    }
+    return g_handles[halHandle].get();
+}
+
 void set_err(char** errStr, const std::string& msg) {
     if (errStr) {
         *errStr = static_cast<char*>(malloc(msg.size() + 1));
@@ -1010,8 +1073,10 @@ struct hal_block_results_t* halGetBlocksInTargetRange(
 
 struct hal_species_t* halGetSpecies(int halHandle, char** errStr) {
     std::lock_guard<std::mutex> lock(g_mutex);
+    Handle* h = checked_handle(halHandle, errStr);
+    if (!h) return nullptr;
     std::string err;
-    AlnN* aln = g_handles[halHandle]->aln_for(0, true, err);
+    AlnN* aln = h->aln_for(0, true, err);
     if (!aln) {
         set_err(errStr, err);
         return nullptr;
@@ -1035,8 +1100,10 @@ struct hal_species_t* halGetSpecies(int halHandle, char** errStr) {
 struct hal_chromosome_t* halGetChroms(int halHandle, char* speciesName,
                                       char** errStr) {
     std::lock_guard<std::mutex> lock(g_mutex);
+    Handle* h = checked_handle(halHandle, errStr);
+    if (!h) return nullptr;
     std::string err;
-    AlnN* aln = g_handles[halHandle]->aln_for(0, true, err);
+    AlnN* aln = h->aln_for(0, true, err);
     if (!aln) {
         set_err(errStr, err);
         return nullptr;
@@ -1063,8 +1130,10 @@ struct hal_chromosome_t* halGetChroms(int halHandle, char* speciesName,
 char* halGetDna(int halHandle, char* speciesName, char* chromName,
                 hal_int_t start, hal_int_t end, char** errStr) {
     std::lock_guard<std::mutex> lock(g_mutex);
+    Handle* h = checked_handle(halHandle, errStr);
+    if (!h) return nullptr;
     std::string err;
-    AlnN* aln = g_handles[halHandle]->aln_for(0, true, err);
+    AlnN* aln = h->aln_for(0, true, err);
     if (!aln) {
         set_err(errStr, err);
         return nullptr;

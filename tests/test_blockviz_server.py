@@ -184,3 +184,64 @@ def test_native_lod_manifest_and_dna(fixture, tmp_path):
     assert p, err.value
     s = ctypes.string_at(p).decode()
     assert s == tg.get_dna_string(int(tg.seq_start[0]), 10)
+
+
+def test_bad_handle_reports_error_not_ub(fixture):
+    """Accessors must validate the handle (a failed halOpen returns -1;
+    browser servers may also pass stale handles) instead of indexing
+    g_handles out of bounds."""
+    lib = _load()
+    lib.halGetSpecies.restype = ctypes.c_void_p
+    lib.halGetSpecies.argtypes = [ctypes.c_int,
+                                  ctypes.POINTER(ctypes.c_char_p)]
+    for bad in (-1, 9999):
+        err = ctypes.c_char_p()
+        assert lib.halGetSpecies(bad, ctypes.byref(err)) is None
+        assert err.value == b"bad handle"
+        err = ctypes.c_char_p()
+        assert lib.halGetDna(bad, b"x", b"y", 0, 1, ctypes.byref(err)) is None
+        assert err.value == b"bad handle"
+
+
+def test_seq_names_scoped_to_genome_object(fixture, tmp_path):
+    """A genome name that also appears EARLIER in the manifest (here: as
+    an alignment metadata value, which halz serializes before the genomes
+    map) must not capture another genome's seq_names list."""
+    import shutil
+
+    aln, path = fixture
+    leaves = [n for n in sorted(aln.genome_names()) if aln.tree.is_leaf(n)
+              and aln.open_genome(n).length > 0]
+    victim = leaves[-1]
+    d = str(tmp_path / "meta.halz")
+    shutil.copytree(path, d)
+    import json
+
+    with open(os.path.join(d, "halz.json")) as fh:
+        man = json.load(fh)
+    assert list(man).index("metadata") < list(man).index("genomes")
+    man["metadata"] = {"refGenome": victim}
+    with open(os.path.join(d, "halz.json"), "w") as fh:
+        json.dump(man, fh, indent=1)
+    lib = _load()
+    lib.halGetChroms.restype = ctypes.c_void_p
+    lib.halGetChroms.argtypes = [ctypes.c_int, ctypes.c_char_p,
+                                 ctypes.POINTER(ctypes.c_char_p)]
+    err = ctypes.c_char_p()
+    h = lib.halOpen(d.encode(), ctypes.byref(err))
+    assert h >= 0, err.value
+    p = lib.halGetChroms(h, victim.encode(), ctypes.byref(err))
+    assert p, err.value
+
+    class _Chrom(ctypes.Structure):
+        pass
+
+    _Chrom._fields_ = [("next", ctypes.POINTER(_Chrom)),
+                       ("name", ctypes.c_char_p),
+                       ("length", ctypes.c_int64)]
+    got = []
+    node = ctypes.cast(p, ctypes.POINTER(_Chrom))
+    while node:
+        got.append(node.contents.name.decode())
+        node = node.contents.next
+    assert got == list(aln.open_genome(victim).seq_names)

@@ -205,3 +205,38 @@ def test_remote_hdf5_block_granular_liftover(served_hdf5):
     assert bf.bytes_fetched < size // 2, \
         "block-granular open fetched %d of %d bytes" % (bf.bytes_fetched,
                                                         size)
+
+
+def test_remote_legacy_hdf5_falls_back_after_lazy_load(tmp_path):
+    """The legacy mr.hal (v2.1 fixed-width seqname datatype) needs the
+    relaxed-integrity open, which only applies to real file paths — the
+    remote BlockFile path fails at GENOME load time, lazily.  open_remote's
+    fallback must cover that late failure (round-4 review finding): the
+    first open_genome transparently switches to the whole-file download."""
+    import shutil
+
+    src = "/root/reference/paf/tests/input/mr.hal"
+    if not os.path.exists(src):
+        pytest.skip("reference mr.hal fixture not present")
+    root = tmp_path / "legacy"
+    root.mkdir()
+    shutil.copy(src, str(root / "mr.hal"))
+    handler = type("RH", (RangeHandler,), {"served_bytes": [0]})
+    os_dir = str(root)
+    srv = HTTPServer(("127.0.0.1", 0),
+                     lambda *a, **kw: handler(*a, directory=os_dir, **kw))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = "http://127.0.0.1:%d/mr.hal" % srv.server_address[1]
+        local = open_alignment(src)
+        remote = open_alignment(url)
+        assert remote.get_newick_tree() == local.get_newick_tree()
+        name = sorted(local.genome_names())[0]
+        rg = remote.open_genome(name)
+        lg = local.open_genome(name)
+        assert rg.length == lg.length
+        assert list(rg.seq_names) == list(lg.seq_names)
+        assert np.array_equal(rg.top_start, lg.top_start)
+    finally:
+        srv.shutdown()
