@@ -141,14 +141,34 @@ def trackdb_snake(f, other: str, hal_path: str) -> None:
 # kent-binary conversions (optional, like the reference)
 # ---------------------------------------------------------------------------
 
+def _read_chrom_sizes(chromsizes: str) -> dict:
+    sizes = {}
+    with open(chromsizes) as f:
+        for line in f:
+            p = line.split()
+            if len(p) >= 2:
+                sizes[p[0]] = int(p[1])
+    return sizes
+
+
 def try_wig_to_bigwig(wig: str, chromsizes: str, bw: str) -> bool:
+    """kent's wigToBigWig when present (compressed output); else the
+    native writer (hal_tpu.io.bbi) — the hub gets real bigWigs either
+    way, unlike the reference which requires the kent userApps."""
+    if not os.path.exists(wig):
+        return False
     if shutil.which("wigToBigWig"):
         subprocess.run(["wigToBigWig", wig, chromsizes, bw], check=True)
         return True
-    return False
+    from hal_tpu.io.bbi import wig_to_bigwig
+
+    wig_to_bigwig(wig, _read_chrom_sizes(chromsizes), bw)
+    return True
 
 
 def try_bed_to_bigbed(bed: str, chromsizes: str, bb: str) -> bool:
+    if not os.path.exists(bed):
+        return False
     if shutil.which("bedToBigBed"):
         srt = bed + ".sorted"
         with open(srt, "w") as f:
@@ -156,7 +176,10 @@ def try_bed_to_bigbed(bed: str, chromsizes: str, bb: str) -> bool:
         subprocess.run(["bedToBigBed", srt, chromsizes, bb], check=True)
         os.unlink(srt)
         return True
-    return False
+    from hal_tpu.io.bbi import bed_to_bigbed
+
+    bed_to_bigbed(bed, _read_chrom_sizes(chromsizes), bb)
+    return True
 
 
 def note(msg: str) -> None:

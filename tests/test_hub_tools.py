@@ -69,6 +69,19 @@ def test_hal2assemblyhub(hal, tmp_path):
     assert "track repeatMasker" in tdb
     assert os.path.exists(os.path.join(out, g, g + ".gc.wig"))
     assert os.path.exists(os.path.join(out, g, "chrom.sizes"))
+    # kent binaries are absent in this environment: the hub still gets
+    # real bigWig/bigBed via the native writers (hal_tpu.io.bbi)
+    import struct
+
+    from hal_tpu.io import bbi
+    bw = os.path.join(out, g, g + ".gc.bw")
+    bb = os.path.join(out, g, g + ".rmsk.bb")
+    assert os.path.exists(bw) and os.path.exists(bb)
+    assert struct.unpack_from("<I", open(bw, "rb").read(4))[0] == \
+        bbi.BIGWIG_MAGIC
+    assert struct.unpack_from("<I", open(bb, "rb").read(4))[0] == \
+        bbi.BIGBED_MAGIC
+    assert "type bigWig" in tdb and "type bigBed" in tdb
 
 
 def test_hal2assemblyhub_lod_manifest(hal, tmp_path):
