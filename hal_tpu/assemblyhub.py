@@ -6,8 +6,10 @@ rmskTrack.py, bedTrack.py, wigTrack.py, snakeTrack.py): each reference job
 shells out to kent binaries (hgGcPercent, wigToBigWig, bedToBigBed); here
 the signal tracks are computed natively from the columnar genome arrays
 (vectorized numpy / the device column engine) and written as wiggle/BED
-text, with big* conversion attempted only when the kent binaries are
-present — the same external-tool posture as the reference.
+text, then converted to bigWig/bigBed via kent's binaries when present
+or the native BBI writers (hal_tpu.io.bbi) otherwise — the hub always
+gets browser-consumable big* files, which the reference cannot do
+without the kent userApps installed.
 """
 
 from __future__ import annotations
@@ -162,8 +164,14 @@ def try_wig_to_bigwig(wig: str, chromsizes: str, bw: str) -> bool:
         return True
     from hal_tpu.io.bbi import wig_to_bigwig
 
-    wig_to_bigwig(wig, _read_chrom_sizes(chromsizes), bw)
-    return True
+    try:
+        wig_to_bigwig(wig, _read_chrom_sizes(chromsizes), bw)
+        return True
+    except Exception as e:  # bad user annotation: keep the plain-wig track
+        note("native wigToBigWig failed for %s (%s); keeping wig" % (wig, e))
+        if os.path.exists(bw):
+            os.unlink(bw)  # no partial container in the hub
+        return False
 
 
 def try_bed_to_bigbed(bed: str, chromsizes: str, bb: str) -> bool:
@@ -178,8 +186,14 @@ def try_bed_to_bigbed(bed: str, chromsizes: str, bb: str) -> bool:
         return True
     from hal_tpu.io.bbi import bed_to_bigbed
 
-    bed_to_bigbed(bed, _read_chrom_sizes(chromsizes), bb)
-    return True
+    try:
+        bed_to_bigbed(bed, _read_chrom_sizes(chromsizes), bb)
+        return True
+    except Exception as e:  # bad user annotation: keep the plain-bed track
+        note("native bedToBigBed failed for %s (%s); keeping bed" % (bed, e))
+        if os.path.exists(bb):
+            os.unlink(bb)  # no partial container in the hub
+        return False
 
 
 def note(msg: str) -> None:

@@ -218,6 +218,14 @@ def write_bigwig(path: str, chrom_sizes: dict, data_by_chrom: dict) -> None:
     data_by_chrom = {c: [(int(s), int(e), float(v))
                          for s, e, v in runs if e > s]
                      for c, runs in data_by_chrom.items()}
+    for c, runs in data_by_chrom.items():
+        runs.sort()
+        for (s0, e0, _v0), (s1, _e1, _v1) in zip(runs, runs[1:]):
+            if s1 < e0:
+                # overlaps would corrupt the R-tree bounds and the
+                # summaries; kent's wigToBigWig rejects them the same way
+                raise ValueError(
+                    "overlapping wiggle runs on %s at %d < %d" % (c, s1, e0))
     reduction = _pick_reduction(chrom_sizes)
     with open(path, "wb") as f:
         f.write(b"\x00" * (64 + 24))     # header + 1 zoom header
@@ -271,11 +279,22 @@ def write_bigbed(path: str, chrom_sizes: dict, beds: list,
         rest = b[3] if len(b) > 3 else ""
         items.append((ids[chrom], s, e, rest))
     items.sort(key=lambda t: (t[0], t[1], t[2]))
-    # zoom over coverage (value = 1 per covered base)
+    # zoom over coverage (value = 1 per covered base); overlapping
+    # features are routine in BED, so take the interval UNION — kent's
+    # bedToBigBed summarizes union coverage, and validCount must never
+    # exceed the chrom/window span
     cov = {}
     inv = {v: k for k, v in ids.items()}
     for cid, s, e, _ in items:
-        cov.setdefault(inv[cid], []).append((s, e, 1.0))
+        cov.setdefault(inv[cid], []).append((s, e))
+    for c, ivs in cov.items():
+        merged = []
+        for s, e in sorted(ivs):
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        cov[c] = [(s, e, 1.0) for s, e in merged]
     reduction = _pick_reduction(chrom_sizes)
     with open(path, "wb") as f:
         f.write(b"\x00" * (64 + 24))

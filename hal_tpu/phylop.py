@@ -332,16 +332,26 @@ class PhyloPScorer:
             device = "off"
         self.device = device
         self._dev = None
+        self._engine: str | None = None  # sticky choice, first batch
 
     def _score_batch(self, pats: np.ndarray) -> np.ndarray:
         """Score distinct patterns via the device LRT (phylop_jax) or the
-        numpy fit — identical semantics, shared postprocessing."""
-        use_dev = self.device == "on"
-        if self.device == "auto" and len(pats) >= 4096:
-            from hal_tpu.phylop_jax import on_accelerator
+        numpy fit — identical semantics, shared postprocessing.
 
-            use_dev = on_accelerator()
-        if use_dev:
+        The engine is chosen ONCE, on the first batch, and kept for the
+        scorer's lifetime: the float32 device search and the float64
+        numpy fit agree only to ~1e-2, so switching engines per batch
+        would mix precisions within one output wiggle."""
+        if self._engine is None:
+            if self.device == "on":
+                self._engine = "device"
+            elif self.device == "auto" and len(pats) >= 4096:
+                from hal_tpu.phylop_jax import on_accelerator
+
+                self._engine = "device" if on_accelerator() else "numpy"
+            else:
+                self._engine = "numpy"
+        if self._engine == "device":
             if self._dev is None:
                 from hal_tpu.phylop_jax import DevicePhyloP
 

@@ -935,10 +935,8 @@ struct hal_block_results_t* halGetBlocksInTargetRange(
     int dupMode, int mapBackAdjacencies, const char* coalescenceLimitName,
     char** errStr) {
     std::lock_guard<std::mutex> lock(g_mutex);
-    if (halHandle < 0 || halHandle >= static_cast<int>(g_handles.size())) {
-        set_err(errStr, "bad handle");
-        return nullptr;
-    }
+    Handle* h = checked_handle(halHandle, errStr);
+    if (!h) return nullptr;
     if (tReversed && mapBackAdjacencies) {
         set_err(errStr, "tReversed can only be set when mapBackAdjacencies "
                         "is 0");
@@ -950,8 +948,7 @@ struct hal_block_results_t* halGetBlocksInTargetRange(
         return nullptr;
     }
     std::string err;
-    AlnN* aln = g_handles[halHandle]->aln_for(tEnd - tStart, seqMode == 2,
-                                              err);
+    AlnN* aln = h->aln_for(tEnd - tStart, seqMode == 2, err);
     if (!aln) {
         set_err(errStr, err);
         return nullptr;

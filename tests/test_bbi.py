@@ -214,3 +214,23 @@ def test_rtree_query_bounds(tmp_path):
     assert len(hits) == 1
     _cid, c_start, c_end = struct.unpack_from("<III", buf, hits[0][4])[:3]
     assert c_start <= q_lo < q_hi <= c_end or (c_start, c_end) == (0, 1950)
+
+
+def test_bigwig_rejects_overlap(tmp_path):
+    """kent's wigToBigWig errors on overlapping runs; silent acceptance
+    would corrupt R-tree bounds and summaries (round-4 review finding)."""
+    with pytest.raises(ValueError, match="overlap"):
+        bbi.write_bigwig(str(tmp_path / "o.bw"), {"c": 200},
+                         {"c": [(0, 100, 1.0), (5, 7, 2.0)]})
+
+
+def test_bigbed_union_coverage(tmp_path):
+    """Overlapping BED features are routine; coverage summaries must
+    count the UNION of covered bases, never more than the chrom span."""
+    p = str(tmp_path / "o.bb")
+    bbi.write_bigbed(p, {"c": 200},
+                     [("c", 0, 100), ("c", 50, 150), ("c", 160, 170)])
+    buf = open(p, "rb").read()
+    h = _read_header(buf)
+    summary = struct.unpack_from("<Qdddd", buf, h["summary"])
+    assert summary[0] == 160  # union of [0,150) and [160,170)
