@@ -443,17 +443,26 @@ def main():
     engine = DepthEngine(aln, src, 0, col_window, scope, scope_root)
     prep_dt = time.time() - t0
     t0 = time.time()
-    engine.run()  # warm compiles
+    engine.run_device_only()  # warm compiles
     warm_dt = time.time() - t0
+    # device phase: scalar-synced, so the ~0.5 GB counts download over
+    # the (wildly variable) axon tunnel is timed as a separate drain and
+    # a sick link cannot masquerade as kernel regression
     t0 = time.time()
-    counts, cols = engine.run()
+    mean_depth, cols, total_dev = engine.run_device_only()
     col_dt = time.time() - t0
     cols_rate = cols / col_dt
+    t0 = time.time()
+    counts_np = np.asarray(total_dev)
+    drain_dt = time.time() - t0
     sys.stderr.write("device columns: host-prep %.2fs, compile+warm %.2fs, "
                      "device %.2fs for %d columns x %d genomes -> "
-                     "%.0f columns/s (mean depth %.2f)\n"
+                     "%.0f columns/s (mean depth %.2f); counts drain "
+                     "%.1fs (%.0f MB at %.1f MB/s)\n"
                      % (prep_dt, warm_dt, col_dt, cols, len(scope),
-                        cols_rate, counts.mean()))
+                        cols_rate, mean_depth, drain_dt,
+                        counts_np.nbytes / 1e6,
+                        counts_np.nbytes / max(drain_dt, 1e-9) / 1e6))
 
     # device phyloP LRT (optional extra — skipped if the run is near its
     # wall budget so the headline metrics always land)

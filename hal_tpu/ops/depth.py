@@ -151,9 +151,7 @@ class DepthEngine:
             self.jobs.append((path, lo, hi, caps))
         self._host_base = host_base
 
-    def run(self):
-        """Dispatch all genomes, accumulate on device, fetch once.
-        Returns (counts int64 ndarray, columns)."""
+    def _dispatch(self):
         jnp = self._jnp
         total = jnp.zeros(self.window, jnp.int32)
         ovfs = []
@@ -162,16 +160,43 @@ class DepthEngine:
                                     self.count_dupes)
             total = total + cover
             ovfs.append(ovf)
-        flags = np.asarray(jnp.stack(ovfs)) if ovfs else np.zeros(0, bool)
-        counts = np.asarray(total).astype(np.int64)
+        return total, ovfs
+
+    @staticmethod
+    def _check(flags):
         if flags.any():
             # host-sized caps must never overflow; a truncated coverage
             # vector must not be returned silently
             raise RuntimeError(
                 "device depth overflow under host-sized caps: host sizing "
                 "algebra diverged from the device expansion")
+
+    def run(self):
+        """Dispatch all genomes, accumulate on device, fetch once.
+        Returns (counts int64 ndarray, columns)."""
+        jnp = self._jnp
+        total, ovfs = self._dispatch()
+        flags = np.asarray(jnp.stack(ovfs)) if ovfs else np.zeros(0, bool)
+        counts = np.asarray(total).astype(np.int64)
+        self._check(flags)
         counts += self._host_base
         return counts - 1, self.window
+
+    def run_device_only(self):
+        """Dispatch + accumulate, syncing on SCALARS only (overflow flags
+        + the counts sum) — no window-sized download.  Benchmarks time
+        this separately from the drain so a degraded host link (the axon
+        tunnel swings 40 -> ~1 MB/s; a 2^27-int32 counts vector is
+        ~0.5 GB) cannot masquerade as device-kernel regression.  Returns
+        (mean depth, columns, the on-device counts for a later drain)."""
+        jnp = self._jnp
+        total, ovfs = self._dispatch()
+        s = total.sum()
+        flags = np.asarray(jnp.stack(ovfs)) if ovfs else np.zeros(0, bool)
+        self._check(flags)
+        mean = ((float(np.asarray(s.reshape(1))[0])
+                 + float(self._host_base.sum())) / self.window) - 1.0
+        return mean, self.window, total
 
 
 def depth_counts_device(aln: Alignment, ref: str, gs: int, ge: int, scope,

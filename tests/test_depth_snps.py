@@ -111,3 +111,29 @@ def test_depth_device_matches_host():
         got, cols = depth_counts_device(aln, ref, 0, ge, scope, scope_root, dupes)
         assert cols == ge
         assert np.array_equal(got, want), ("count_dupes", dupes)
+
+
+def test_depth_engine_device_only_scalar_sync():
+    """run_device_only (scalar-synced bench path) reports the same mean
+    depth and leaves the counts fetchable for a separate drain."""
+    import numpy as np
+
+    from hal_tpu.randgen import create_random_alignment
+    from hal_tpu.ops.column import compute_scope
+    from hal_tpu.ops.depth import DepthEngine
+
+    aln = create_random_alignment(seed=11, max_genomes=6, min_genomes=5,
+                                  min_segments=4, max_segments=24,
+                                  min_segment_length=3, max_segment_length=9)
+    ref = [n for n in aln.genome_names() if aln.tree.is_leaf(n)][0]
+    g = aln.open_genome(ref)
+    scope, scope_root = compute_scope(aln, ref)
+    ge = min(int(g.length), 160)
+    eng = DepthEngine(aln, ref, 0, ge, scope, scope_root)
+    counts, cols = eng.run()
+    mean, cols2, total_dev = eng.run_device_only()
+    assert cols2 == cols == ge
+    assert abs(mean - counts.mean()) < 1e-9
+    # the device counts drain equals run()'s full fetch
+    drained = np.asarray(total_dev).astype(np.int64) - 1
+    assert np.array_equal(drained, counts)
