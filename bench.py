@@ -452,17 +452,22 @@ def main():
     mean_depth, cols, total_dev = engine.run_device_only()
     col_dt = time.time() - t0
     cols_rate = cols / col_dt
+    # drain probe: a bounded 16 MB slice measures the link rate for the
+    # counts download without risking 500+ s on a ~1 MB/s tunnel (the
+    # full 0.5 GB drain belongs to the halAlignmentDepth tool, and the
+    # worst measured link rate would blow the bench wall budget)
     t0 = time.time()
-    counts_np = np.asarray(total_dev)
+    probe_np = np.asarray(total_dev[:min(1 << 22, total_dev.shape[0])])
     drain_dt = time.time() - t0
+    full_mb = total_dev.nbytes / 1e6
     sys.stderr.write("device columns: host-prep %.2fs, compile+warm %.2fs, "
                      "device %.2fs for %d columns x %d genomes -> "
-                     "%.0f columns/s (mean depth %.2f); counts drain "
-                     "%.1fs (%.0f MB at %.1f MB/s)\n"
+                     "%.0f columns/s (mean depth %.2f); drain probe "
+                     "%.1fs (%.0f of %.0f MB at %.1f MB/s)\n"
                      % (prep_dt, warm_dt, col_dt, cols, len(scope),
                         cols_rate, mean_depth, drain_dt,
-                        counts_np.nbytes / 1e6,
-                        counts_np.nbytes / max(drain_dt, 1e-9) / 1e6))
+                        probe_np.nbytes / 1e6, full_mb,
+                        probe_np.nbytes / max(drain_dt, 1e-9) / 1e6))
 
     # device phyloP LRT (optional extra — skipped if the run is near its
     # wall budget so the headline metrics always land)
