@@ -383,21 +383,29 @@ def main():
     from hal_tpu.ops.liftover_baseline import CppBaseline
     from hal_tpu.ops.liftover_baseline import available as cpp_available
 
+    cpp_spread = None
     if cpp_available():
+        # the anchor swings ~2x with host load (r4: 444k-833k across four
+        # same-day runs) — run 5x, use the MEDIAN, print the spread so the
+        # round-over-round vs_baseline ratio stops moving on idle noise
         CPP_SAMPLE = 1 << 16
         bl = CppBaseline(aln, src, tgt)
         bl.run(lo[:64], hi[:64])  # touch tables (page-in)
-        t0 = time.time()
-        cpp_total, _cs = bl.run(lo[:CPP_SAMPLE], hi[:CPP_SAMPLE])
-        cpp_dt = time.time() - t0
-        cpp_rate = CPP_SAMPLE / cpp_dt
+        rates = []
+        for _rep in range(5):
+            t0 = time.time()
+            cpp_total, _cs = bl.run(lo[:CPP_SAMPLE], hi[:CPP_SAMPLE])
+            rates.append(CPP_SAMPLE / (time.time() - t0))
+        cpp_rate = float(np.median(rates))
+        cpp_spread = [round(min(rates)), round(max(rates))]
         _, cpp_expected = sj.host_path_totals(aln, src, tgt,
                                               lo[:CPP_SAMPLE],
                                               hi[:CPP_SAMPLE])
         assert cpp_total == cpp_expected, (cpp_total, cpp_expected)
-        sys.stderr.write("reference-architecture C++ (1 core): %.3fs/%d -> "
-                         "%.0f intervals/s (fragments checked equal)\n"
-                         % (cpp_dt, CPP_SAMPLE, cpp_rate))
+        sys.stderr.write("reference-architecture C++ (1 core): median of 5 "
+                         "-> %.0f intervals/s (spread %.0f-%.0f; fragments "
+                         "checked equal)\n"
+                         % (cpp_rate, min(rates), max(rates)))
         bl.close()
 
     # speed-of-light statement: XLA's own cost model for the compiled
@@ -452,22 +460,41 @@ def main():
     mean_depth, cols, total_dev = engine.run_device_only()
     col_dt = time.time() - t0
     cols_rate = cols / col_dt
-    # drain probe: a bounded 16 MB slice measures the link rate for the
-    # counts download without risking 500+ s on a ~1 MB/s tunnel (the
-    # full 0.5 GB drain belongs to the halAlignmentDepth tool, and the
-    # worst measured link rate would blow the bench wall budget)
+    # FULL drain via device RLE (VERDICT r4 missing #2a): the counts
+    # vector is run-compressed where it lives — diff -> nonzero compaction
+    # -> (pos, value) pairs — so the whole 134M-column window's product
+    # crosses the tunnel in a few MB instead of 0.5 GB
+    from hal_tpu.ops.depth import rle_decode, rle_encode_device
+
+    t0 = time.time()
+    starts_r, vals_r = rle_encode_device(total_dev)
+    rle_dt = time.time() - t0
+    from hal_tpu.ops.segmap_jax import _bucket_cap as _bc
+
+    rle_wire_mb = 2 * 4 * _bc(len(starts_r)) / 1e6
+    dense_mb = total_dev.nbytes / 1e6
+    # equality evidence without a 0.5 GB download: exact sum equality
+    # (the device-phase scalar) + element-wise equality on a 16 MB slice
+    # (which doubles as the link-rate probe)
+    dec_sum = int(((vals_r).astype(np.int64)
+                   * np.diff(np.append(starts_r, cols))).sum())
+    want_sum = int(round((mean_depth + 1.0) * cols))
+    assert dec_sum == want_sum, (dec_sum, want_sum)
     t0 = time.time()
     probe_np = np.asarray(total_dev[:min(1 << 22, total_dev.shape[0])])
-    drain_dt = time.time() - t0
-    full_mb = total_dev.nbytes / 1e6
+    probe_dt = time.time() - t0
+    dec = rle_decode(starts_r, vals_r, cols)[:probe_np.shape[0]]
+    assert np.array_equal(dec, probe_np.astype(np.int64)), \
+        "RLE decode diverges from dense counts"
     sys.stderr.write("device columns: host-prep %.2fs, compile+warm %.2fs, "
                      "device %.2fs for %d columns x %d genomes -> "
-                     "%.0f columns/s (mean depth %.2f); drain probe "
-                     "%.1fs (%.0f of %.0f MB at %.1f MB/s)\n"
+                     "%.0f columns/s (mean depth %.2f); FULL drain as RLE: "
+                     "%d runs, %.1f MB wire (vs %.0f MB dense) in %.2fs; "
+                     "sum+16MB-slice equality ok (probe %.1f MB/s)\n"
                      % (prep_dt, warm_dt, col_dt, cols, len(scope),
-                        cols_rate, mean_depth, drain_dt,
-                        probe_np.nbytes / 1e6, full_mb,
-                        probe_np.nbytes / max(drain_dt, 1e-9) / 1e6))
+                        cols_rate, mean_depth, len(starts_r), rle_wire_mb,
+                        dense_mb, rle_dt,
+                        probe_np.nbytes / max(probe_dt, 1e-9) / 1e6))
 
     # device phyloP LRT (optional extra — skipped if the run is near its
     # wall budget so the headline metrics always land)
@@ -487,11 +514,15 @@ def main():
         "vs_baseline": round(e2e_rate / anchor, 2),
         "baseline_kind": ("cpp_single_core_reference_architecture"
                           if cpp_rate else "host_numpy"),
+        "baseline_spread": cpp_spread,
         "compute_intervals_per_s": round(compute_rate, 1),
         "compute_vs_baseline": round(compute_rate / anchor, 2),
         "e2e_pct_of_compute": round(100.0 * e2e_rate / compute_rate, 1),
         "d2h_mb_s": round(d2h_mb_s, 1),
         "columns_per_s": round(cols_rate, 1),
+        "depth_drain_mb": round(rle_wire_mb, 2),
+        "depth_drain_s": round(rle_dt, 2),
+        "depth_rle_runs": len(starts_r),
         "columns_per_s_hal2maf": round(maf_rate, 1),
         "phylop_patterns_per_s": (round(phylop_rate, 1)
                                   if phylop_rate else None),

@@ -8,7 +8,7 @@ paper, Kent et al. 2010, and kent/src/inc/bbiFile.h):
 
     [common header][zoom headers][total summary][chrom B+ tree]
     [full data: u64 count + sections/items][full R-tree index]
-    [per zoom level: u64 count + summary records + R-tree]
+    [per zoom level: u32 count + summary records + R-tree]
 
 Layout choices (all spec-legal, favoring simplicity):
   * uncompressBufSize = 0 — sections stored uncompressed (readers branch
@@ -61,20 +61,56 @@ def _chrom_ids(chrom_sizes: dict) -> dict:
 
 # ------------------------------------------------------------- B+ tree
 
+def _chunk(seq, size):
+    return [seq[i:i + size] for i in range(0, len(seq), size)] or [[]]
+
+
 def _write_chrom_bpt(f, chrom_sizes: dict) -> None:
+    """Multi-level B+ tree: leaves hold <= BLOCK_SIZE (key, id, size)
+    items, index levels above are keyed by each child's first key, until a
+    single root — the same shape kent's bptFileCreate writes top-down
+    (ADVICE r4: a single oversized leaf violated the declared blockSize
+    for assemblies with > 256 sequences)."""
     names = sorted(chrom_sizes)
     key_size = max(len(n) for n in names) if names else 1
     f.write(struct.pack("<IIIIQQ", BPT_MAGIC, BLOCK_SIZE, key_size, 8,
                         len(names), 0))
-    # single leaf holds all chroms (hub genomes have << BLOCK_SIZE seqs;
-    # callers with more get a still-valid multi-entry leaf chain via the
-    # same encoding as long as count fits u16)
-    assert len(names) < (1 << 16), "chrom count exceeds single-leaf B+ tree"
-    f.write(struct.pack("<BBH", 1, 0, len(names)))
-    for i, n in enumerate(names):
-        key = n.encode()
-        f.write(key + b"\x00" * (key_size - len(key)))
-        f.write(struct.pack("<II", i, int(chrom_sizes[n])))
+    items = [(n.encode(), i, int(chrom_sizes[n])) for i, n in enumerate(names)]
+    levels = [_chunk(items, BLOCK_SIZE)]          # bottom-up
+    while len(levels[-1]) > 1:
+        levels.append(_chunk(levels[-1], BLOCK_SIZE))
+    levels.reverse()                              # root level first
+    # offsets: nodes are written root-first in level order; every node
+    # (leaf item or index entry) costs key_size + 8 bytes per entry
+    pos = f.tell()
+    offs = []
+    for level in levels:
+        level_offs = []
+        for node in level:
+            level_offs.append(pos)
+            pos += 4 + len(node) * (key_size + 8)
+        offs.append(level_offs)
+
+    def first_key(node):
+        while node and isinstance(node[0], list):
+            node = node[0]
+        return node[0][0] if node else b""
+
+    for li, level in enumerate(levels):
+        is_leaf = li == len(levels) - 1
+        for ni, node in enumerate(level):
+            f.write(struct.pack("<BBH", 1 if is_leaf else 0, 0, len(node)))
+            if is_leaf:
+                for key, cid, size in node:
+                    f.write(key + b"\x00" * (key_size - len(key)))
+                    f.write(struct.pack("<II", cid, size))
+            else:
+                # children of node ni are consecutive in the next level
+                for ci, child in enumerate(node):
+                    key = first_key(child)
+                    f.write(key + b"\x00" * (key_size - len(key)))
+                    f.write(struct.pack("<Q",
+                                        offs[li + 1][ni * BLOCK_SIZE + ci]))
 
 
 # -------------------------------------------------------------- R-tree
@@ -98,40 +134,45 @@ def _write_rtree(f, blocks: list, end_file_offset: int) -> None:
     f.write(struct.pack("<IIQIIIIQII", CIR_MAGIC, BLOCK_SIZE, n, s_cix,
                         s_base, e_cix, e_base, end_file_offset, 1, 0))
 
-    def write_level(level_blocks):
-        """Write one tree level; returns per-group (bounds, node_offset)
-        placeholders resolved bottom-up."""
-        # leaves: groups of <= BLOCK_SIZE blocks
-        groups = [level_blocks[i:i + BLOCK_SIZE]
-                  for i in range(0, len(level_blocks), BLOCK_SIZE)] or [[]]
-        if len(groups) == 1:
-            g = groups[0]
-            f.write(struct.pack("<BBH", 1, 0, len(g)))
-            for b in g:
-                f.write(struct.pack("<IIIIQQ", b.start_chrom, b.start,
-                                    b.end_chrom, b.end, b.offset, b.size))
-            return
-        # two levels: internal root pointing at leaf nodes
-        root_pos = f.tell()
-        root_size = 4 + 24 * len(groups)
-        f.write(b"\x00" * root_size)  # placeholder
-        child_offsets = []
-        for g in groups:
-            child_offsets.append(f.tell())
-            f.write(struct.pack("<BBH", 1, 0, len(g)))
-            for b in g:
-                f.write(struct.pack("<IIIIQQ", b.start_chrom, b.start,
-                                    b.end_chrom, b.end, b.offset, b.size))
-        end = f.tell()
-        f.seek(root_pos)
-        f.write(struct.pack("<BBH", 0, 0, len(groups)))
-        for g, off in zip(groups, child_offsets):
-            s_cix, s_base, e_cix, e_base = _span_bounds(g)
-            f.write(struct.pack("<IIIIQ", s_cix, s_base, e_cix, e_base,
-                                off))
-        f.seek(end)
+    # bottom-up level structure (leaf groups, then index levels of
+    # <= BLOCK_SIZE children each, up to one root — any data-block count
+    # indexes without exceeding the declared fanout; the old 2-level
+    # layout overflowed struct 'H' past ~131k blocks, ADVICE r4)
+    levels = [_chunk(blocks, BLOCK_SIZE)]
+    while len(levels[-1]) > 1:
+        levels.append(_chunk(levels[-1], BLOCK_SIZE))
+    levels.reverse()  # root level first
 
-    write_level(blocks)
+    def leaf_blocks(node):
+        while node and isinstance(node[0], list):
+            node = [b for child in node for b in child]
+        return node
+
+    pos = f.tell()
+    offs = []
+    for li, level in enumerate(levels):
+        is_leaf = li == len(levels) - 1
+        per = 32 if is_leaf else 24
+        level_offs = []
+        for node in level:
+            level_offs.append(pos)
+            pos += 4 + len(node) * per
+        offs.append(level_offs)
+    for li, level in enumerate(levels):
+        is_leaf = li == len(levels) - 1
+        for ni, node in enumerate(level):
+            f.write(struct.pack("<BBH", 1 if is_leaf else 0, 0, len(node)))
+            if is_leaf:
+                for b in node:
+                    f.write(struct.pack("<IIIIQQ", b.start_chrom, b.start,
+                                        b.end_chrom, b.end, b.offset, b.size))
+            else:
+                for ci, child in enumerate(node):
+                    lb = leaf_blocks(child)
+                    s_cix, s_base, e_cix, e_base = _span_bounds(lb)
+                    f.write(struct.pack("<IIIIQ", s_cix, s_base, e_cix,
+                                        e_base,
+                                        offs[li + 1][ni * BLOCK_SIZE + ci]))
 
 
 # ---------------------------------------------------------------- zoom
@@ -166,10 +207,11 @@ def _windows(runs, reduction):
 
 
 def _write_zoom(f, records):
-    """Zoom data (u64 count + 32-byte summary records) + its R-tree.
-    Returns (data_offset, index_offset)."""
+    """Zoom data (u32 count + 32-byte summary records, matching kent's
+    bbiWrite zoom writer — ADVICE r4; the full-data count stays u64) + its
+    R-tree.  Returns (data_offset, index_offset)."""
     data_offset = f.tell()
-    f.write(struct.pack("<Q", len(records)))
+    f.write(struct.pack("<I", len(records)))
     blocks = []
     for i in range(0, len(records), ZOOM_PER_SLOT):
         grp = records[i:i + ZOOM_PER_SLOT]
@@ -182,6 +224,29 @@ def _write_zoom(f, records):
     index_offset = f.tell()
     _write_rtree(f, blocks, index_offset)
     return data_offset, index_offset
+
+
+def _depth_runs(intervals):
+    """Constant-depth coverage runs (start, end, depth) from possibly
+    overlapping half-open intervals, depth > 0 only, adjacent equal-depth
+    runs merged."""
+    events = []
+    for s, e in intervals:
+        events.append((s, 1))
+        events.append((e, -1))
+    events.sort()
+    runs = []
+    depth = 0
+    prev = None
+    for pos, d in events:
+        if depth > 0 and prev is not None and pos > prev:
+            if runs and runs[-1][1] == prev and runs[-1][2] == depth:
+                runs[-1] = (runs[-1][0], pos, depth)
+            else:
+                runs.append((prev, pos, depth))
+        depth += d
+        prev = pos
+    return [(s, e, float(v)) for s, e, v in runs]
 
 
 # ------------------------------------------------------------- summary
@@ -279,22 +344,15 @@ def write_bigbed(path: str, chrom_sizes: dict, beds: list,
         rest = b[3] if len(b) > 3 else ""
         items.append((ids[chrom], s, e, rest))
     items.sort(key=lambda t: (t[0], t[1], t[2]))
-    # zoom over coverage (value = 1 per covered base); overlapping
-    # features are routine in BED, so take the interval UNION — kent's
-    # bedToBigBed summarizes union coverage, and validCount must never
-    # exceed the chrom/window span
+    # zoom/summary over coverage DEPTH (kent's bedToBigBed summarizes
+    # overlap depth: min/max/sum/sumsq reflect how many features cover a
+    # base, ADVICE r4); runs are disjoint constant-depth segments, so
+    # validCount still counts union bases and never exceeds the span
     cov = {}
     inv = {v: k for k, v in ids.items()}
     for cid, s, e, _ in items:
         cov.setdefault(inv[cid], []).append((s, e))
-    for c, ivs in cov.items():
-        merged = []
-        for s, e in sorted(ivs):
-            if merged and s <= merged[-1][1]:
-                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
-            else:
-                merged.append((s, e))
-        cov[c] = [(s, e, 1.0) for s, e in merged]
+    cov = {c: _depth_runs(ivs) for c, ivs in cov.items()}
     reduction = _pick_reduction(chrom_sizes)
     with open(path, "wb") as f:
         f.write(b"\x00" * (64 + 24))

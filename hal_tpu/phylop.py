@@ -345,7 +345,12 @@ class PhyloPScorer:
         if self._engine is None:
             if self.device == "on":
                 self._engine = "device"
-            elif self.device == "auto" and len(pats) >= 4096:
+            elif self.device == "auto":
+                # backend-only decision (ADVICE r4): a small FIRST window
+                # must not lock a genome-scale run onto numpy — on an
+                # accelerator the device engine wins from the second batch
+                # on, and precision stays consistent because the choice is
+                # still sticky for the scorer's lifetime
                 from hal_tpu.phylop_jax import on_accelerator
 
                 self._engine = "device" if on_accelerator() else "numpy"

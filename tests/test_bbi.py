@@ -32,16 +32,24 @@ def _read_chroms(buf, off):
     magic, block_size, key_size, val_size, count, _ = struct.unpack_from(
         "<IIIIQQ", buf, off)
     assert magic == bbi.BPT_MAGIC and val_size == 8
-    off += 32
-    is_leaf, _, n = struct.unpack_from("<BBH", buf, off)
-    assert is_leaf == 1 and n == count
-    off += 4
     out = {}
-    for _ in range(n):
-        key = buf[off:off + key_size].split(b"\x00")[0].decode()
-        cid, size = struct.unpack_from("<II", buf, off + key_size)
-        out[cid] = (key, size)
-        off += key_size + 8
+
+    def node(at):
+        is_leaf, _, n = struct.unpack_from("<BBH", buf, at)
+        assert n <= block_size
+        at += 4
+        for _ in range(n):
+            key = buf[at:at + key_size].split(b"\x00")[0].decode()
+            if is_leaf:
+                cid, size = struct.unpack_from("<II", buf, at + key_size)
+                out[cid] = (key, size)
+            else:
+                (child,) = struct.unpack_from("<Q", buf, at + key_size)
+                node(child)
+            at += key_size + 8
+
+    node(off + 32)
+    assert len(out) == count
     return out
 
 
@@ -116,7 +124,7 @@ def test_bigwig_roundtrip(tmp_path):
     assert abs(summary[3] - total) < 1e-9
     # zoom level: records exist, cover the data, stats consistent
     red, _r, zd, zi = h["zooms"][0]
-    (n_z,) = struct.unpack_from("<Q", open(p, "rb").read(), zd)
+    (n_z,) = struct.unpack_from("<I", open(p, "rb").read(), zd)
     assert n_z > 0
     buf = open(p, "rb").read()
     zleaves, _ = _rtree_leaves(buf, zi)
@@ -234,3 +242,32 @@ def test_bigbed_union_coverage(tmp_path):
     h = _read_header(buf)
     summary = struct.unpack_from("<Qdddd", buf, h["summary"])
     assert summary[0] == 160  # union of [0,150) and [160,170)
+
+
+def test_bigbed_depth_summary(tmp_path):
+    """Summaries reflect overlap DEPTH (kent bedToBigBed semantics): max
+    is the deepest coverage, sum integrates depth over covered bases."""
+    p = str(tmp_path / "d.bb")
+    bbi.write_bigbed(p, {"c": 200},
+                     [("c", 0, 100), ("c", 50, 150), ("c", 160, 170)])
+    buf = open(p, "rb").read()
+    h = _read_header(buf)
+    valid, mn, mx, sm, sq = struct.unpack_from("<Qdddd", buf, h["summary"])
+    assert valid == 160           # union bases
+    assert mn == 1.0 and mx == 2.0
+    # depth runs: [0,50)x1 [50,100)x2 [100,150)x1 [160,170)x1
+    assert sm == 50 * 1 + 50 * 2 + 50 * 1 + 10 * 1
+    assert sq == 50 * 1 + 50 * 4 + 50 * 1 + 10 * 1
+
+
+def test_chrom_bpt_multilevel(tmp_path, monkeypatch):
+    """> BLOCK_SIZE sequences force index levels in the chrom B+ tree."""
+    monkeypatch.setattr(bbi, "BLOCK_SIZE", 4)
+    sizes = {"chr%03d" % i: 100 + i for i in range(37)}  # 37 > 4^2
+    data = {c: [(0, 10, 1.0)] for c in sizes}
+    p = str(tmp_path / "many.bw")
+    bbi.write_bigwig(p, sizes, data)
+    _h, chroms, runs, summary, _n = _decode_bigwig(p)
+    assert {c[0]: c[1] for c in chroms.values()} == sizes
+    assert set(runs) == set(sizes)
+    assert summary[0] == 10 * len(sizes)

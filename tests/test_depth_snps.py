@@ -137,3 +137,41 @@ def test_depth_engine_device_only_scalar_sync():
     # the device counts drain equals run()'s full fetch
     drained = np.asarray(total_dev).astype(np.int64) - 1
     assert np.array_equal(drained, counts)
+
+
+def test_depth_rle_runs_and_wiggle():
+    """run_runs drains the counts as RLE (pos, value) pairs; decoded runs
+    equal run()'s dense counts byte-for-byte, and the runs-consuming
+    wiggle writer emits identical text (VERDICT r4 missing #2a)."""
+    import io
+
+    import numpy as np
+
+    from hal_tpu.randgen import create_random_alignment
+    from hal_tpu.ops.column import compute_scope
+    from hal_tpu.ops.depth import (DepthEngine, rle_decode, write_wiggle,
+                                   write_wiggle_runs)
+
+    aln = create_random_alignment(seed=11, max_genomes=6, min_genomes=5,
+                                  min_segments=4, max_segments=24,
+                                  min_segment_length=3, max_segment_length=9)
+    ref = [n for n in aln.genome_names() if aln.tree.is_leaf(n)][0]
+    g = aln.open_genome(ref)
+    scope, scope_root = compute_scope(aln, ref)
+    ge = min(int(g.length), 160)
+    for dupes in (False, True):
+        eng = DepthEngine(aln, ref, 0, ge, scope, scope_root,
+                          count_dupes=dupes)
+        counts, _ = eng.run()
+        starts, vals, window = eng.run_runs()
+        assert window == ge
+        # runs are a genuine RLE: strictly increasing starts, first at 0,
+        # no two adjacent runs with equal value
+        assert starts[0] == 0 and (np.diff(starts) > 0).all()
+        assert (vals[1:] != vals[:-1]).all()
+        assert np.array_equal(rle_decode(starts, vals, window), counts)
+        for step in (1, 3):
+            a, b = io.StringIO(), io.StringIO()
+            write_wiggle(a, "s", 0, counts, step)
+            write_wiggle_runs(b, "s", 0, starts, vals, window, step)
+            assert a.getvalue() == b.getvalue()
