@@ -260,9 +260,11 @@ def main():
                      % (dt, compute_rate))
 
     # end-to-end: map + ON-DEVICE RUN EXTRACTION + download the merged-run
-    # bytes.  The axon tunnel is strictly serial (~0.06-0.08 s fixed +
-    # ~40 MB/s, measured round 4; no overlap possible), so the e2e design
-    # minimizes BYTES and FETCH COUNT:
+    # bytes.  The tunnel transfer DOES overlap device execution (measured
+    # round 5, hal_tpu/tools/benchOverlap.py — the r4 "no overlap
+    # possible" claim was wrong), so the e2e loop below drains batch k in
+    # a thread while dispatching k+1; bytes and fetch count still matter
+    # because the drain is the longer phase on a sick link:
     #   * _runs_packed_jit sorts fragments by (owner, t_lo) and merges
     #     abutting same-orientation chains on device — the reference's
     #     BlockMapper::extractSegment (halBlockMapper.cpp:331-391) done
@@ -295,31 +297,71 @@ def main():
     sys.stderr.write("tunnel D2H now: %.1f MB/s (%.1f MB probe)\n"
                      % (d2h_mb_s, probe_np.nbytes / 1e6))
 
+    # serial schedule first (dispatch all -> sync -> drain all): its split
+    # attributes device vs link time for the health record
     t0 = time.time()
     pending = []
     for _ in range(TIMED_ITERS):
         F, bound, ovf, _ = sj._map_batch_jit(path, lo_d, hi_d, own_d, caps)
         pending.append(sj._runs_packed_jit(F, lo_d, seq_grid, out_cols,
                                            LEN_BITS))
-    # phase split: sync on the last batch's scalar (device work done),
-    # then drain — the e2e number decomposes into device vs link time
     tot_all = np.asarray(jnp.stack([p[1] for p in pending]))
     t_dev = time.time() - t0
     wires = np.asarray(jnp.stack([p[0] for p in pending]))
     ovf_all = np.asarray(jnp.stack([p[2] for p in pending]))
-    e2e = (time.time() - t0) / TIMED_ITERS
-    t_drain = e2e * TIMED_ITERS - t_dev
+    t_serial = time.time() - t0
+    t_drain = t_serial - t_dev
     assert not ovf_all.any(), "packed runs overflow in timed loop"
     k = int(tot_all[-1])
     nbytes = wires.nbytes // TIMED_ITERS
-    e2e_rate = N_INTERVALS / e2e
-    sys.stderr.write("device end-to-end (run-merged, pipelined): %.4fs/batch "
-                     "(%d runs from %d fragments, %.1f MB/batch) -> %.0f "
-                     "intervals/s (%.0f%% of compute rate); split: device "
-                     "%.2fs + drain %.2fs (%.1f MB/s effective)\n"
-                     % (e2e, k, final_rows, nbytes / 1e6, e2e_rate,
-                        100.0 * e2e_rate / compute_rate, t_dev, t_drain,
+    sys.stderr.write("serial schedule: %.4fs/batch; split: device %.2fs + "
+                     "drain %.2fs (%.1f MB/s effective)\n"
+                     % (t_serial / TIMED_ITERS, t_dev, t_drain,
                         wires.nbytes / max(t_drain, 1e-9) / 1e6))
+
+    # OVERLAPPED schedule (the headline): a drain thread fetches batch k's
+    # wire while the main thread dispatches batch k+1 — measured to work
+    # on this rig (hal_tpu/tools/benchOverlap.py, SCALING.md r5: transfer
+    # proceeds concurrently with device execution; the old "no overlap
+    # possible" claim is retired).  e2e then approaches
+    # max(device, drain) instead of their sum.
+    import queue as _queue
+    import threading as _threading
+
+    dq: "_queue.Queue" = _queue.Queue()
+    drained = []
+
+    def _drainer():
+        while True:
+            item = dq.get()
+            if item is None:
+                return
+            drained.append(np.asarray(item))
+
+    th = _threading.Thread(target=_drainer)
+    th.start()
+    t0 = time.time()
+    pend2 = []
+    for _ in range(TIMED_ITERS):
+        F, bound, ovf, _ = sj._map_batch_jit(path, lo_d, hi_d, own_d, caps)
+        w2, tot2, ovf2 = sj._runs_packed_jit(F, lo_d, seq_grid, out_cols,
+                                             LEN_BITS)
+        dq.put(w2)
+        pend2.append((tot2, ovf2))
+    dq.put(None)
+    th.join()
+    e2e = (time.time() - t0) / TIMED_ITERS
+    assert not np.asarray(jnp.stack([p[1] for p in pend2])).any(), \
+        "packed runs overflow in overlapped loop"
+    assert len(drained) == TIMED_ITERS
+    e2e_rate = N_INTERVALS / e2e
+    sys.stderr.write("device end-to-end (run-merged, OVERLAPPED drain): "
+                     "%.4fs/batch (%d runs from %d fragments, %.1f MB/batch)"
+                     " -> %.0f intervals/s (%.0f%% of compute rate; serial "
+                     "schedule was %.4fs/batch)\n"
+                     % (e2e, k, final_rows, nbytes / 1e6, e2e_rate,
+                        100.0 * e2e_rate / compute_rate,
+                        t_serial / TIMED_ITERS))
 
     # honesty check: decoded runs equal the host's extract_runs (the
     # reference merge semantics) on a sample of owners of the last batch
