@@ -55,6 +55,10 @@ def _load():
     lib.ce_export.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]
     lib.ce_finish.restype = ctypes.c_int64
     lib.ce_finish.argtypes = [ctypes.c_void_p]
+    lib.ce_export_frags.restype = ctypes.c_int64
+    lib.ce_export_frags.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, _I64, _I64, _I64, _U8, _I64,
+        ctypes.c_int64, _I64]
     lib.ce_read.restype = ctypes.c_int64
     lib.ce_read.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64]
     lib.ce_free.restype = None
@@ -94,6 +98,8 @@ class NativeMafExporter:
         tree = aln.tree
         names = sorted(aln.genome_names())
         gid = {n: i for i, n in enumerate(names)}
+        self._aln = aln
+        self._gid = gid
         rank = {n: r for r, n in enumerate(sorted(names))}
         flags = ((1 if no_dupes else 0) | (2 if no_ancestors else 0)
                  | (4 if only_orthologs else 0) | (8 if unique else 0)
@@ -162,6 +168,62 @@ class NativeMafExporter:
         buf = ctypes.create_string_buffer(n)
         got = self._lib.ce_read(ctypes.c_void_p(self._h), buf, n)
         return buf.raw[:got]
+
+    def export_frags(self, gs: int, ge: int, frags_by_target: dict,
+                     no_ancestors: bool = False, targets=None) -> bytes:
+        """MAF bytes for [gs, ge) assembled from KEYED FRAGMENTS (the
+        device column engine's product, hal_tpu.ops.column_jax): fragments
+        are sorted host-side into global row precedence (genome name rank,
+        sequence, DFS program ordinal, DFS key) and swept through the same
+        native MAF entry machine ce_export drives — byte-equal output.
+
+        frags_by_target: {genome -> [(ordinal, _St), ...]}."""
+        tree = self._aln.tree
+        cols = {k: [] for k in ("s", "t", "ln", "rev", "gd", "seq", "o",
+                                "key")}
+        for t in sorted(frags_by_target):
+            if no_ancestors and not tree.is_leaf(t):
+                continue
+            if targets and t not in targets:
+                continue
+            gen = self._aln.open_genome(t)
+            for (ordinal, st) in frags_by_target[t]:
+                n = len(st.s_lo)
+                if not n:
+                    continue
+                cols["s"].append(st.s_lo)
+                cols["t"].append(st.t_lo)
+                cols["ln"].append(st.ln)
+                cols["rev"].append(st.rev)
+                cols["gd"].append(np.full(n, self._gid[t], np.int64))
+                cols["seq"].append(np.searchsorted(
+                    gen.seq_start, st.t_lo, side="right") - 1)
+                cols["o"].append(np.full(n, ordinal, np.int64))
+                cols["key"].append(st.key)
+        if not cols["s"]:
+            return b""
+        s, tl, ln, gd, seq, o, key = (
+            np.concatenate(cols[k]).astype(np.int64)
+            for k in ("s", "t", "ln", "gd", "seq", "o", "key"))
+        rev = np.concatenate(cols["rev"]).astype(np.uint8)
+        order = np.lexsort((key, o, seq, gd))
+        s, tl, ln, gd, rev = s[order], tl[order], ln[order], gd[order], \
+            rev[order]
+        cuts = np.unique(np.concatenate([s, s + ln, [gs, ge]]))
+        cuts = cuts[(cuts >= gs) & (cuts <= ge)]
+        s_c, p_s = _c64(s)
+        t_c, p_t = _c64(tl)
+        l_c, p_l = _c64(ln)
+        r_c, p_r = _cu8(rev)
+        g_c, p_g = _c64(gd)
+        c_c, p_c = _c64(cuts)
+        n = self._lib.ce_export_frags(
+            ctypes.c_void_p(self._h), len(s), p_s, p_t, p_l, p_r, p_g,
+            len(cuts), p_c)
+        if n < 0:
+            raise RuntimeError("native fragment assembler failed on "
+                               "[%d, %d)" % (gs, ge))
+        return self._export_bytes(int(n))
 
     def export(self, gs: int, ge: int) -> bytes:
         n = self._lib.ce_export(ctypes.c_void_p(self._h), int(gs), int(ge))

@@ -201,92 +201,11 @@ class PathData:
             mx = max(max_len, max_seg)
             dtype = (jnp.int32 if mx < 2 ** 31 - 2 else
                      jnp.uint32 if mx < 2 ** 32 - 2 else jnp.int64)
-        np_dtype = {jnp.dtype(jnp.int32): np.int32,
-                    jnp.dtype(jnp.uint32): np.uint32}.get(jnp.dtype(dtype),
-                                                          np.int64)
-
-        def A(x):
-            return jnp.asarray(np.ascontiguousarray(x), dtype)
-
-        def pack4(*cols):
-            n = len(cols[0])
-            m = np.zeros((max(len(cols), 4), max(n, 1)), np_dtype)
-            for k, c in enumerate(cols):
-                if n:
-                    m[k, :] = c
-            return jnp.asarray(m)
-
-        def seg_tab(starts, link, lrev, dst_start, rc, ro):
-            """Pre-join the link hop (host): [start, next, dst_start, lrev,
-            has_link, ring_count, ring_offset, 0] — link-dependent values
-            are pure functions of the segment index, so the device does ONE
-            column gather per hop instead of a second indirection."""
-            n_seg = len(link)
-            link = np.asarray(link, np.int64)
-            lc = np.clip(link, 0, max(len(dst_start) - 1, 0))
-            has = (link != NULL_INDEX).astype(np.int64)
-            ds = (dst_start[lc] if len(dst_start) else np.zeros(n_seg, np.int64)) * has
-            rcj = (rc[lc] if len(rc) else np.zeros(n_seg, np.int64)) * has
-            roj = (ro[lc] if len(ro) else np.zeros(n_seg, np.int64)) * has
-            z = np.zeros(n_seg, np.int64)
-            return pack4(starts[:n_seg], starts[1:n_seg + 1], ds,
-                         np.asarray(lrev, np.int64), has, rcj, roj, z)
-
-        def pages(starts):
-            pt, ps = ((None, 0) if len(starts) <= _PALLAS_GRID_LIMIT
-                      else _build_page_table(starts))
-            return (None if pt is None else jnp.asarray(pt)), ps
-
         def up_level(cur: str) -> Level:
-            g = aln.open_genome(cur)
-            parent = tree.parent(cur)
-            pg = aln.open_genome(parent)
-            n_seg = g.num_top_segments
-            z0 = np.zeros(0, np.int64)
-            pt, ps = pages(g.top_start)
-            return Level(
-                kind="up",
-                grid=A(g.top_start),
-                seg_table=seg_tab(g.top_start, g.top_parent[:n_seg],
-                                  g.top_parent_reversed[:n_seg],
-                                  pg.bot_start[:pg.num_bottom_segments], z0, z0),
-                ring_mem_tab=pack4(np.zeros(0, np.int64)),
-                max_ring=0,
-                page_tab=pt, page_shift=ps,
-            )
+            return build_up_level(aln, cur, dtype)
 
         def down_level(cur: str, nxt: str, rings: bool) -> Level:
-            g = aln.open_genome(cur)
-            cg = aln.open_genome(nxt)
-            slot = tree.child_index(cur, nxt)
-            n_seg = g.num_bottom_segments
-            nd = cg.num_top_segments
-            max_ring = 0
-            rc = np.zeros(nd, np.int64)
-            ro = np.zeros(nd, np.int64)
-            rm = np.zeros(0, np.int64)
-            rf = np.zeros(0, np.uint8)
-            if rings and (cg.top_paralogy != NULL_INDEX).any():
-                rc, ro, rm, rf = _build_ring_csr(cg.top_paralogy,
-                                                 cg.top_parent_reversed)
-                max_ring = int(rc.max()) + 1
-            link = (g.bot_child[:n_seg, slot] if n_seg
-                    else np.zeros(0, np.int64))
-            lrev = (g.bot_child_reversed[:n_seg, slot].astype(np.int64)
-                    if n_seg else np.zeros(0, np.int64))
-            mem = rm.astype(np.int64)
-            pt, ps = pages(g.bot_start)
-            return Level(
-                kind="down",
-                grid=A(g.bot_start),
-                seg_table=seg_tab(g.bot_start, link, lrev,
-                                  cg.top_start[:nd], rc[:nd], ro[:nd]),
-                ring_mem_tab=pack4(cg.top_start[mem] if len(mem) else mem,
-                                   cg.top_start[mem + 1] if len(mem) else mem,
-                                   rf.astype(np.int64)),
-                max_ring=max_ring,
-                page_tab=pt, page_shift=ps,
-            )
+            return build_down_level(aln, cur, nxt, rings, dtype)
 
         levels = []
         cur = src
@@ -313,6 +232,139 @@ class PathData:
                 para.append((up, downs))
         return cls(levels=tuple(levels), n_up=n_up, para=tuple(para),
                    min_length=int(min_length))
+
+
+def _np_dtype_of(dtype):
+    return {jnp.dtype(jnp.int32): np.int32,
+            jnp.dtype(jnp.uint32): np.uint32}.get(jnp.dtype(dtype), np.int64)
+
+
+def _pack4(np_dtype, *cols):
+    n = len(cols[0])
+    m = np.zeros((max(len(cols), 4), max(n, 1)), np_dtype)
+    for k, c in enumerate(cols):
+        if n:
+            m[k, :] = c
+    return jnp.asarray(m)
+
+
+def _seg_tab(np_dtype, starts, link, lrev, dst_start, rc, ro):
+    """Pre-join the link hop (host): [start, next, dst_start, lrev,
+    has_link, ring_count, ring_offset, 0] — link-dependent values are pure
+    functions of the segment index, so the device does ONE column gather
+    per hop instead of a second indirection."""
+    n_seg = len(link)
+    link = np.asarray(link, np.int64)
+    lc = np.clip(link, 0, max(len(dst_start) - 1, 0))
+    has = (link != NULL_INDEX).astype(np.int64)
+    ds = (dst_start[lc] if len(dst_start) else np.zeros(n_seg, np.int64)) * has
+    rcj = (rc[lc] if len(rc) else np.zeros(n_seg, np.int64)) * has
+    roj = (ro[lc] if len(ro) else np.zeros(n_seg, np.int64)) * has
+    z = np.zeros(n_seg, np.int64)
+    return _pack4(np_dtype, starts[:n_seg], starts[1:n_seg + 1], ds,
+                  np.asarray(lrev, np.int64), has, rcj, roj, z)
+
+
+def _pages(starts):
+    pt, ps = ((None, 0) if len(starts) <= _PALLAS_GRID_LIMIT
+              else _build_page_table(starts))
+    return (None if pt is None else jnp.asarray(pt)), ps
+
+
+def build_up_level(aln: Alignment, cur: str, dtype) -> Level:
+    g = aln.open_genome(cur)
+    parent = aln.tree.parent(cur)
+    pg = aln.open_genome(parent)
+    n_seg = g.num_top_segments
+    np_dtype = _np_dtype_of(dtype)
+    z0 = np.zeros(0, np.int64)
+    pt, ps = _pages(g.top_start)
+    return Level(
+        kind="up",
+        grid=jnp.asarray(np.ascontiguousarray(g.top_start), dtype),
+        seg_table=_seg_tab(np_dtype, g.top_start, g.top_parent[:n_seg],
+                           g.top_parent_reversed[:n_seg],
+                           pg.bot_start[:pg.num_bottom_segments], z0, z0),
+        ring_mem_tab=_pack4(np_dtype, np.zeros(0, np.int64)),
+        max_ring=0,
+        page_tab=pt, page_shift=ps,
+    )
+
+
+def build_down_level(aln: Alignment, cur: str, nxt: str, rings: bool,
+                     dtype) -> Level:
+    g = aln.open_genome(cur)
+    cg = aln.open_genome(nxt)
+    slot = aln.tree.child_index(cur, nxt)
+    n_seg = g.num_bottom_segments
+    nd = cg.num_top_segments
+    np_dtype = _np_dtype_of(dtype)
+    max_ring = 0
+    rc = np.zeros(nd, np.int64)
+    ro = np.zeros(nd, np.int64)
+    rm = np.zeros(0, np.int64)
+    rf = np.zeros(0, np.uint8)
+    if rings and (cg.top_paralogy != NULL_INDEX).any():
+        rc, ro, rm, rf = _build_ring_csr(cg.top_paralogy,
+                                         cg.top_parent_reversed)
+        max_ring = int(rc.max()) + 1
+    link = (g.bot_child[:n_seg, slot] if n_seg
+            else np.zeros(0, np.int64))
+    lrev = (g.bot_child_reversed[:n_seg, slot].astype(np.int64)
+            if n_seg else np.zeros(0, np.int64))
+    mem = rm.astype(np.int64)
+    pt, ps = _pages(g.bot_start)
+    return Level(
+        kind="down",
+        grid=jnp.asarray(np.ascontiguousarray(g.bot_start), dtype),
+        seg_table=_seg_tab(np_dtype, g.bot_start, link, lrev,
+                           cg.top_start[:nd], rc[:nd], ro[:nd]),
+        ring_mem_tab=_pack4(np_dtype,
+                            cg.top_start[mem] if len(mem) else mem,
+                            cg.top_start[mem + 1] if len(mem) else mem,
+                            rf.astype(np.int64)),
+        max_ring=max_ring,
+        page_tab=pt, page_shift=ps,
+    )
+
+
+def build_selfring_level(aln: Alignment, cur: str, dtype) -> Level:
+    """Self-ring level for the device column engine (hal_tpu.ops.column_jax):
+    split fragments at `cur`'s TOP grid (the parse transition), identity
+    link (dst = own segment), ring CSR keyed by the fragment's OWN top
+    segment — expanding exactly the reference's toNextParalogy walk from
+    the segment itself (halColumnIterator.cpp:642-682 updateNextTopDup).
+    The caller drops the pass-through base fragments after expansion
+    (members only, matching the ring walk's exclusion of the start
+    segment)."""
+    g = aln.open_genome(cur)
+    nt = g.num_top_segments
+    np_dtype = _np_dtype_of(dtype)
+    rc = np.zeros(nt, np.int64)
+    ro = np.zeros(nt, np.int64)
+    rm = np.zeros(0, np.int64)
+    rf = np.zeros(0, np.uint8)
+    max_ring = 0
+    if g.top_paralogy.shape[0] and (g.top_paralogy != NULL_INDEX).any():
+        rc, ro, rm, rf = _build_ring_csr(g.top_paralogy,
+                                         g.top_parent_reversed)
+        max_ring = int(rc.max()) + 1
+    mem = rm.astype(np.int64)
+    pt, ps = _pages(g.top_start)
+    ident = np.arange(nt, dtype=np.int64)
+    return Level(
+        kind="down",
+        grid=jnp.asarray(np.ascontiguousarray(g.top_start), dtype),
+        seg_table=_seg_tab(np_dtype, g.top_start, ident,
+                           np.zeros(nt, np.int64), g.top_start[:nt],
+                           rc[:nt], ro[:nt]),
+        ring_mem_tab=_pack4(np_dtype,
+                            g.top_start[mem] if len(mem) else mem,
+                            g.top_start[mem + 1] if len(mem) else mem,
+                            rf.astype(np.int64)),
+        max_ring=max_ring,
+        page_tab=pt, page_shift=ps,
+    )
 
 
 def _level_flatten(lv: Level):

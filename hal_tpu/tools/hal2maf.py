@@ -53,6 +53,12 @@ def run(argv=None):
     p.add_argument("--printTree", action="store_true")
     p.add_argument("--onlyOrthologs", action="store_true")
     p.add_argument("--keepEmptyRefBlocks", action="store_true")
+    p.add_argument("--device", action="store_true",
+                   help="run column construction on the TPU "
+                        "(hal_tpu.ops.column_jax) with the native C++ MAF "
+                        "assembler; output is byte-identical.  Falls back "
+                        "(with a notice) for flags outside the device "
+                        "engine's surface")
     add_storage_options(p)
     o = p.parse_args(argv)
 
@@ -81,6 +87,26 @@ def run(argv=None):
         targets = None
         scope = None
 
+    # --device: TPU column construction (DFS-keyed fragment programs) +
+    # native C++ assembly — byte-identical to every other engine
+    device_eng = None
+    if o.device:
+        unsupported = (o.global_ or o.printTree or o.maxRefGap or o.unique
+                       or o.noDupes or o.onlyOrthologs)
+        if unsupported:
+            sys.stderr.write("hal2maf: --device does not cover this flag "
+                             "set; using the native/python engine\n")
+        else:
+            try:
+                from hal_tpu.ops.column_jax import DeviceColumnEngine
+
+                device_eng = DeviceColumnEngine(
+                    aln, ref, scope=scope, targets=targets,
+                    no_ancestors=o.noAncestors)
+            except Exception as e:
+                sys.stderr.write("hal2maf: device engine unavailable "
+                                 "(%s); falling back\n" % e)
+
     # native C++ engine (native/column_engine.cpp) serves every request it
     # can express; the pure-Python path (the tested oracle) covers the rest
     native_ex = None
@@ -97,7 +123,11 @@ def run(argv=None):
     # say which engine serves the request (VERDICT r4 weak #4: a silent
     # fallback to the pure-Python exact path costs ~50x and the user had
     # no way to know); bench.py prints the same attribution
-    if native_ex is None:
+    if device_eng is not None and native_ex is not None:
+        sys.stderr.write("hal2maf: engine=device+native-assembler\n")
+    elif device_eng is not None:
+        sys.stderr.write("hal2maf: engine=device+python-builder\n")
+    elif native_ex is None:
         from hal_tpu.ops.column_native import available as _native_ok
 
         why = ("--global shared visit cache" if o.global_ else
@@ -150,7 +180,12 @@ def run(argv=None):
         pos = gs
         while pos < ge:
             end = min(pos + WINDOW, ge)
-            if native_ex is not None:
+            if device_eng is not None and native_ex is not None:
+                out_b.write(device_eng.export_native(native_ex, pos, end))
+            elif device_eng is not None:
+                for block in builder.feed(device_eng.window_slices(pos, end)):
+                    out.write(block + "\n")
+            elif native_ex is not None:
                 out_b.write(native_ex.export(pos, end))
             else:
                 export_window(out, aln, ref, pos, end, scope, targets, o,

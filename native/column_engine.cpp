@@ -27,6 +27,7 @@
 #include <cstdint>
 #include <cstring>
 #include <memory>
+#include <set>
 #include <string>
 #include <vector>
 
@@ -617,6 +618,74 @@ struct Engine {
     return 0;
   }
 
+  // ---------------------------------------------------- fragment assembler
+  // Consumer for the DEVICE column engine (hal_tpu/ops/column_jax.py):
+  // fragments arrive pre-sorted by global row precedence (genome name
+  // rank, sequence, DFS program ordinal, DFS key) and pre-filtered; this
+  // sweep cuts them into atomic slices and drives the same MAF entry
+  // machine the DFS path uses, so the emitted bytes match ce_export /
+  // the exact-Python path for the covered flag surface.
+  int export_frags(int64_t n_frag, const int64_t* fs_lo, const int64_t* ft_lo,
+                   const int64_t* fln, const uint8_t* frev,
+                   const int64_t* fgid, int64_t n_cuts, const int64_t* cuts) {
+    started = reference != nullptr;
+    if (started) {
+      bool any = false;
+      for (auto& e : entries)
+        if (e->start != -1) {
+          any = true;
+          break;
+        }
+      started = any;
+    }
+    // index fragments by src start/end for the sweep
+    std::vector<int64_t> by_start(n_frag), by_end(n_frag);
+    for (int64_t i = 0; i < n_frag; ++i) by_start[i] = by_end[i] = i;
+    std::sort(by_start.begin(), by_start.end(),
+              [&](int64_t a, int64_t b) { return fs_lo[a] < fs_lo[b]; });
+    std::sort(by_end.begin(), by_end.end(), [&](int64_t a, int64_t b) {
+      return fs_lo[a] + fln[a] < fs_lo[b] + fln[b];
+    });
+    std::vector<int32_t> fseq(static_cast<size_t>(n_frag));
+    for (int64_t i = 0; i < n_frag; ++i)
+      fseq[static_cast<size_t>(i)] =
+          static_cast<int32_t>(g[fgid[i]].seq_of(ft_lo[i]));
+    std::set<int64_t> active;  // fragment index == global precedence
+    size_t si = 0, ei = 0;
+    for (int64_t ci = 0; ci + 1 < n_cuts; ++ci) {
+      int64_t a = cuts[ci], b = cuts[ci + 1];
+      if (b <= a) continue;
+      while (ei < by_end.size() &&
+             fs_lo[by_end[ei]] + fln[by_end[ei]] <= a)
+        active.erase(by_end[ei++]);
+      while (si < by_start.size() && fs_lo[by_start[si]] <= a) {
+        if (fs_lo[by_start[si]] + fln[by_start[si]] > a)
+          active.insert(by_start[si]);
+        ++si;
+      }
+      if (active.empty()) continue;
+      brows.clear();
+      brows.reserve(active.size());
+      for (int64_t fi : active) {
+        BRow r;
+        r.gid = static_cast<int32_t>(fgid[fi]);
+        r.seq = fseq[static_cast<size_t>(fi)];
+        r.rev = frev[fi];
+        int64_t adv = a - fs_lo[fi];
+        if (r.rev) {
+          r.hi = ft_lo[fi] + fln[fi] - adv;
+          r.lo = r.hi - (b - a);
+        } else {
+          r.lo = ft_lo[fi] + adv;
+          r.hi = r.lo + (b - a);
+        }
+        brows.push_back(r);
+      }
+      feed_run(a, b - a);
+    }
+    return 0;
+  }
+
   void finish() {  // flush_end (maf_io.py:409-416)
     bool any = false;
     for (auto& e : entries)
@@ -701,6 +770,16 @@ void ce_add_genome(void* h, int64_t gid, const char* name, int64_t parent_gid,
 int64_t ce_export(void* h, int64_t gs, int64_t ge) {
   Engine* e = static_cast<Engine*>(h);
   if (e->export_window(gs, ge) != 0) return -1;
+  return static_cast<int64_t>(e->out.size());
+}
+
+int64_t ce_export_frags(void* h, int64_t n_frag, const int64_t* s_lo,
+                        const int64_t* t_lo, const int64_t* ln,
+                        const uint8_t* rev, const int64_t* gid,
+                        int64_t n_cuts, const int64_t* cuts) {
+  Engine* e = static_cast<Engine*>(h);
+  if (e->export_frags(n_frag, s_lo, t_lo, ln, rev, gid, n_cuts, cuts) != 0)
+    return -1;
   return static_cast<int64_t>(e->out.size());
 }
 
