@@ -569,6 +569,7 @@ def _get_col_jit():
 
     _col_jit_cache["fn"] = run_program
     _col_jit_cache["fused"] = run_fused
+    _col_jit_cache["body"] = _program_body
     return run_program
 
 
@@ -727,7 +728,10 @@ class DeviceColumnEngine:
         return out
 
     def window_frags(self, gs: int, ge: int) -> dict:
-        frags = self.collect(self.dispatch_window(gs, ge), gs, ge)
+        return self._postsplit(
+            self.collect(self.dispatch_window(gs, ge), gs, ge))
+
+    def _postsplit(self, frags: dict) -> dict:
         # cut-superset: split every target's fragments at both of its own
         # grids (host; see module docstring)
         for t, parts in frags.items():
@@ -754,3 +758,90 @@ class DeviceColumnEngine:
         return exporter.export_frags(
             gs, ge, self.window_frags(gs, ge),
             no_ancestors=self.no_ancestors, targets=self.targets)
+
+
+# ------------------------------------------------------- multichip step
+
+def size_sharded_caps(eng: "DeviceColumnEngine", edges):
+    """Elementwise-max capacities across window shards (one exact host
+    sizing per shard, so a single compiled SPMD program serves every
+    shard)."""
+    caps_all, oc_all = [], []
+    for ji in range(len(eng.jobs)):
+        caps_m = None
+        oc_m = 0
+        for k in range(len(edges) - 1):
+            caps, oc = eng._size(ji, int(edges[k]), int(edges[k + 1]))
+            if caps_m is None:
+                caps_m = list(caps)
+            else:
+                caps_m = [tuple(max(a, b) for a, b in zip(c1, c2))
+                          if isinstance(c1, tuple) else max(c1, c2)
+                          for c1, c2 in zip(caps_m, caps)]
+            oc_m = max(oc_m, oc)
+        caps_all.append(tuple(caps_m))
+        oc_all.append(oc_m)
+    return tuple(caps_all), tuple(oc_all)
+
+
+def make_sharded_column_step(eng: "DeviceColumnEngine", caps_all, oc_all,
+                             mesh, axis: str = "data"):
+    """SPMD column step: the reference window is sharded over the mesh's
+    data axis — each device runs EVERY column program on its sub-window
+    with replicated level tables (the hal2mafMP.py coordinate-slicing
+    pattern, maf/hal2mafMP.py:28-66, moved on-chip).  Sub-window edges
+    are natural cut points, so per-shard fragments concatenate into the
+    exact global column structure (slices never span shards).
+
+    Returns step(lo_sh, hi_sh) -> tuple per job of
+    (out (D, 5, out_cols), total (D,), overflow (D,))."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    _get_col_jit()
+    body = _col_jit_cache["body"]
+    jobs = eng.jobs
+
+    def local(lo, hi):
+        outs = []
+        for (job, caps, oc) in zip(jobs, caps_all, oc_all):
+            _t, _spec, levels, meta = job
+            o, tot, ov = body(levels, lo, hi, caps, meta, oc)
+            outs.append((o[None], tot.reshape(1), ov.reshape(1)))
+        return tuple(outs)
+
+    step = jax.shard_map(
+        local, mesh=mesh, in_specs=(P(axis), P(axis)),
+        out_specs=tuple((P(axis), P(axis), P(axis)) for _ in jobs),
+        check_vma=False)
+    return jax.jit(step)
+
+
+def collect_sharded(eng: "DeviceColumnEngine", outs, edges):
+    """Decode a sharded column step's outputs into the engine's
+    {target: [(ordinal, _St)]} form (fragments concatenated across
+    shards; per-slice row order is unaffected because no slice spans a
+    shard boundary)."""
+    out: dict = {t: [] for t in eng.programs}
+    for ji, (o, tot, ovf) in enumerate(outs):
+        t, spec, _levels, _meta = eng.jobs[ji]
+        O = np.asarray(o)
+        T = np.asarray(tot)
+        assert not np.asarray(ovf).any(), "sharded column overflow"
+        parts = []
+        for d in range(O.shape[0]):
+            k = int(T[d])
+            M = O[d, :, :k].astype(np.int64)
+            parts.append(M)
+        M = np.concatenate(parts, axis=1)
+        out[t].append((spec.ordinal, _St(M[0], M[1], M[2], M[3], M[4])))
+    for spec in eng.programs.get(eng.ref, []):
+        if not spec.ops:
+            gs, ge = int(edges[0]), int(edges[-1])
+            z = np.zeros(1, np.int64)
+            out[eng.ref].append(
+                (spec.ordinal, _St(z + gs, z + gs, z + (ge - gs),
+                                   np.zeros(1, np.int64), z.copy())))
+    for t in out:
+        out[t].sort(key=lambda p: p[0])
+    return eng._postsplit(out)
