@@ -123,15 +123,16 @@ def run(argv=None):
     # say which engine serves the request (VERDICT r4 weak #4: a silent
     # fallback to the pure-Python exact path costs ~50x and the user had
     # no way to know); bench.py prints the same attribution
-    if device_eng is not None and native_ex is not None:
+    if o.global_:
+        pass  # _export_global prints its own engine attribution
+    elif device_eng is not None and native_ex is not None:
         sys.stderr.write("hal2maf: engine=device+native-assembler\n")
     elif device_eng is not None:
         sys.stderr.write("hal2maf: engine=device+python-builder\n")
     elif native_ex is None:
         from hal_tpu.ops.column_native import available as _native_ok
 
-        why = ("--global shared visit cache" if o.global_ else
-               "--printTree" if o.printTree else
+        why = ("--printTree" if o.printTree else
                "native library not built" if not _native_ok() else
                "request outside the native engine's feature set")
         sys.stderr.write("hal2maf: engine=python-exact (%s)\n" % why)
@@ -228,7 +229,32 @@ def _export_global(out, aln, o):
     with ONE visit cache carried between passes (convertEntireAlignment,
     maf/impl/halMafExport.cpp:90-160: unique column iterator +
     setVisitCache of the previous passes' caches).  The skip/record
-    semantics live in iter_slices_exact(shared_visit=...)."""
+    semantics live in iter_slices_exact(shared_visit=...); the native
+    engine carries the same shared PosCache across ce_set_ref passes."""
+    leaves = [n for n in aln.genome_names() if aln.tree.is_leaf(n)]
+    if (not o.printTree and not o.maxRefGap and not o.onlySequenceNames
+            and leaves):
+        from hal_tpu.ops.column_native import maybe_native_exporter
+
+        ex = maybe_native_exporter(
+            aln, leaves[0], no_dupes=o.noDupes, no_ancestors=o.noAncestors,
+            only_orthologs=o.onlyOrthologs, max_block_len=o.maxBlockLen,
+            shared_visit={})
+        if ex is not None:
+            sys.stderr.write("hal2maf: engine=native (--global)\n")
+            out.flush()
+            w = getattr(out, "buffer", None)
+            for ref in leaves:
+                ex.set_ref(ref)
+                g = aln.open_genome(ref)
+                b = ex.export(0, int(g.length)) + ex.finish()
+                if w is not None:
+                    w.write(b)
+                else:
+                    out.write(b.decode())
+            ex.close()
+            return
+    sys.stderr.write("hal2maf: engine=python-exact (--global fallback)\n")
     visited: dict = {}  # genome -> PositionCache, shared across passes
     for ref in (n for n in aln.genome_names() if aln.tree.is_leaf(n)):
         g = aln.open_genome(ref)

@@ -20,12 +20,15 @@
 // remains the oracle: tests assert byte equality against the pure-Python
 // path on every flag combination.
 //
-// Not handled here (Python fallback): --maxRefGap indel stacks, --global
-// shared visit caches, --printTree gene trees.
+// Round 5 adds the --maxRefGap indel stacks (ColumnDFS eval_del_site/
+// eval_ins_site + the iter_slices_exact stack walker) and the --global
+// shared visit cache (PosCache, persisted across ce_set_ref passes).
+// Not handled here (Python fallback): --printTree gene trees.
 
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <map>
 #include <memory>
 #include <set>
 #include <string>
@@ -126,12 +129,96 @@ struct Entry {
   std::string text;
 };
 
+// PositionCache: sorted disjoint half-open [lo, hi) interval set
+// (mirror of hal_tpu/ops/poscache.py; reference halPositionCache.cpp)
+struct PosCache {
+  std::map<int64_t, int64_t> iv;  // lo -> hi
+
+  void add(int64_t lo, int64_t hi) {
+    if (hi <= lo) return;
+    auto it = iv.upper_bound(lo);
+    if (it != iv.begin()) {
+      auto prev = std::prev(it);
+      if (prev->second >= lo) {
+        lo = prev->first;
+        it = prev;
+      }
+    }
+    while (it != iv.end() && it->first <= hi) {
+      hi = std::max(hi, it->second);
+      it = iv.erase(it);
+    }
+    iv[lo] = hi;
+  }
+
+  bool covers(int64_t lo, int64_t hi) const {
+    auto it = iv.upper_bound(lo);
+    if (it == iv.begin()) return false;
+    return std::prev(it)->second >= hi;
+  }
+
+  // interval containing p, or false
+  bool interval_at(int64_t p, int64_t* lo, int64_t* hi) const {
+    auto it = iv.upper_bound(p);
+    if (it == iv.begin()) return false;
+    auto prev = std::prev(it);
+    if (prev->second > p) {
+      *lo = prev->first;
+      *hi = prev->second;
+      return true;
+    }
+    return false;
+  }
+
+  int64_t free_run(int64_t p, bool forward) const {
+    auto it = iv.upper_bound(p);
+    if (it != iv.begin() && std::prev(it)->second > p) return 0;
+    if (forward) {
+      if (it != iv.end()) return it->first - p;
+    } else {
+      if (it != iv.begin()) return p - std::prev(it)->second + 1;
+    }
+    return int64_t(1) << 62;
+  }
+
+  // pieces of cached intervals clamped to [lo, hi)
+  template <class F>
+  void overlaps(int64_t lo, int64_t hi, F&& fn) const {
+    auto it = iv.upper_bound(lo);
+    if (it != iv.begin()) --it;
+    for (; it != iv.end() && it->first < hi; ++it) {
+      int64_t a = std::max(it->first, lo);
+      int64_t b = std::min(it->second, hi);
+      if (a < b) fn(a, b);
+    }
+  }
+};
+
 struct Engine {
   std::vector<GenomeT> g;
   int32_t ref = 0;
   bool no_dupes = false, no_ancestors = false, only_orthologs = false;
   bool unique = false, has_scope = false, has_targets = false;
+  bool keep_empty_ref_blocks = true;
   int64_t max_len = 1000;
+
+  // --maxRefGap indel stacks + --global shared visit cache (ports of
+  // hal_tpu/ops/column.py ColumnDFS indel machinery + iter_slices_exact's
+  // stack walker / shared_visit branch — the Python implementations are
+  // the tested spec; reference halColumnIterator.cpp:357-440 indel
+  // recursion + halMafExport.cpp:90-160 global mode)
+  int64_t max_ref_gap = 0;
+  bool global_mode = false;
+  struct Site {
+    int32_t gid;
+    int64_t i, rem;
+    bool o;
+  };
+  std::vector<Site> del_sites, ins_sites;
+  bool track_visits = false;
+  std::vector<RowRef> visits;
+  std::map<int32_t, PosCache> visit;         // per-window indel cache
+  std::map<int32_t, PosCache> shared_visit;  // --global, across refs
 
   // DFS state
   std::vector<RowRef> rows;
@@ -156,6 +243,8 @@ struct Engine {
 
   inline void insert(int32_t gid, int64_t pos, bool rev) {
     if (unique && gid == ref) refpos.emplace_back(pos, rev ? 1 : 0);
+    if (track_visits)
+      visits.push_back({gid, static_cast<uint8_t>(rev ? 1 : 0), pos});
     const GenomeT& t = g[gid];
     if (no_ancestors && !t.is_leaf) return;
     if (has_targets && !t.is_target) return;
@@ -212,8 +301,17 @@ struct Engine {
     bool nrev = rev ^ crev;
     limit_seg(ct.top_start, j, cpos, nrev);
     insert(child, cpos, nrev);
+    if (max_ref_gap > 0) site(ins_sites, child, ct, j, cpos, nrev);
     next_top_dup(child, ct, j, cpos, nrev);
     parse_down(child, ct, j, cpos, nrev);
+  }
+
+  // ColumnDFS._site (column.py:370-377): record an indel discovery site;
+  // it fires only when the run ends exactly at the segment's traversal end
+  inline void site(std::vector<Site>& sites, int32_t gid, const GenomeT& t,
+                   int64_t i, int64_t pos, bool o) {
+    int64_t rem = o ? pos - t.top_start[i] + 1 : t.top_start[i + 1] - pos;
+    sites.push_back({gid, i, rem, o});
   }
 
   // mirror of ColumnDFS._next_top_dup (column.py:449-473)
@@ -234,6 +332,7 @@ struct Engine {
       bool mrev = crev ^ flip;
       limit_seg(t.top_start, m, mpos, mrev);
       insert(gid, mpos, mrev);
+      if (max_ref_gap > 0) site(ins_sites, gid, t, m, mpos, mrev);
       parse_down(gid, t, m, mpos, mrev);
       cur = m;
       cpos = mpos;
@@ -251,6 +350,7 @@ struct Engine {
     limit_seg(t.top_start, i, pos, rev);
     update_parent(gid, t, i, pos, rev);
     if (!only_orthologs) next_top_dup(gid, t, i, pos, rev);
+    if (max_ref_gap > 0) site(del_sites, gid, t, i, pos, rev);
   }
 
   // mirror of ColumnDFS._parse_down (column.py:491-499)
@@ -264,31 +364,40 @@ struct Engine {
                    static_cast<int32_t>(t.children[slot]));
   }
 
-  // mirror of ColumnDFS.run_from for the forward reference walk
-  // (column.py:324-368; indel/visit tracking lives only in Python)
-  void run_dfs(int64_t pos) {
+  // mirror of ColumnDFS.run_from (column.py:324-368): DFS from any
+  // (genome, pos, rev) — rev walks the entry right-to-left (a reversed
+  // indel stack entry)
+  void run_from(int32_t gid, int64_t pos, bool rev) {
     rows.clear();
     refpos.clear();
-    const GenomeT& t = g[ref];
+    if (max_ref_gap > 0) {
+      del_sites.clear();
+      ins_sites.clear();
+    }
+    if (track_visits) visits.clear();
+    const GenomeT& t = g[gid];
     int64_t si = t.seq_of(pos);
     bool seq_has_tops = t.seq_top[si + 1] - t.seq_top[si] > 0;
-    limit = t.seq_start[si + 1] - pos;
+    limit = rev ? pos - t.seq_start[si] + 1 : t.seq_start[si + 1] - pos;
     if (seq_has_tops) {
       int64_t i = t.top_at(pos);
-      limit_seg(t.top_start, i, pos, false);
-      insert(ref, pos, false);
-      update_parent(ref, t, i, pos, false);
-      if (!only_orthologs) next_top_dup(ref, t, i, pos, false);
-      parse_down(ref, t, i, pos, false);
+      limit_seg(t.top_start, i, pos, rev);
+      insert(gid, pos, rev);
+      if (max_ref_gap > 0) site(del_sites, gid, t, i, pos, rev);
+      update_parent(gid, t, i, pos, rev);
+      if (!only_orthologs) next_top_dup(gid, t, i, pos, rev);
+      parse_down(gid, t, i, pos, rev);
     } else {
       int64_t b = t.bot_at(pos);
-      limit_seg(t.bot_start, b, pos, false);
-      insert(ref, pos, false);
+      limit_seg(t.bot_start, b, pos, rev);
+      insert(gid, pos, rev);
       for (int64_t slot = 0; slot < t.n_children; ++slot)
-        update_child(ref, t, b, pos, false, slot,
+        update_child(gid, t, b, pos, rev, slot,
                      static_cast<int32_t>(t.children[slot]));
     }
   }
+
+  void run_dfs(int64_t pos) { run_from(ref, pos, false); }
 
   // -------------------------------------------------------- block machine
 
@@ -513,6 +622,9 @@ struct Engine {
   // (the tool writes `block + "\n"` per yielded block)
   bool flush() {
     if (reference == nullptr) return false;
+    if (!keep_empty_ref_blocks &&
+        reference->text.find_first_not_of('-') == std::string::npos)
+      return false;
     out += "a\n";
     if (reference->start == -1) {
       if (ref_index >= 0) entry_line(reference, ref_index);
@@ -618,6 +730,383 @@ struct Engine {
     return 0;
   }
 
+  // --------------------------------------- indel stacks (column.py ports)
+
+  struct StackE {
+    int32_t gid;
+    int64_t idx, first, last;
+    bool rev;
+    int64_t cum;
+  };
+
+  static inline void seq_span(const int64_t* bounds, int64_t n_seq,
+                              int64_t i, int64_t* first, int64_t* last) {
+    int64_t s = std::upper_bound(bounds, bounds + n_seq + 1, i) - bounds - 1;
+    *first = bounds[s];
+    *last = bounds[s + 1] - 1;
+  }
+
+  // ColumnDFS._eval_del_site (column.py:513-555)
+  bool eval_del_site(int32_t gid, int64_t i, bool o, int64_t cum,
+                     StackE* out) {
+    const GenomeT& t = g[gid];
+    int64_t pi = t.top_parent[i];
+    if (pi < 0 || t.parent < 0) return false;
+    const GenomeT& pt = g[t.parent];
+    bool pori = o ^ (t.top_rev[i] != 0);
+    int64_t pfirst, plast, sfirst, slast;
+    seq_span(pt.seq_bot, pt.n_seq, pi, &pfirst, &plast);
+    seq_span(t.seq_top, t.n_seq, i, &sfirst, &slast);
+    int64_t cand;
+    if (o ? i == sfirst : i == slast) {
+      bool p_is_first = pori ? pi == plast : pi == pfirst;
+      bool p_is_last = pori ? pi == pfirst : pi == plast;
+      if (!p_is_first)
+        cand = pori ? pi + 1 : pi - 1;
+      else if (!p_is_last)
+        cand = pori ? pi - 1 : pi + 1;
+      else
+        return false;
+    } else {
+      int64_t j = o ? i - 1 : i + 1;
+      int64_t pj = t.top_parent[j];
+      if (pj < 0) return false;
+      int64_t lo_i = pi <= pj ? pi : pj;
+      int64_t hi_i = pi <= pj ? pj : pi;
+      int64_t jf, jl;
+      seq_span(pt.seq_bot, pt.n_seq, pj, &jf, &jl);
+      if (hi_i != lo_i + 2 || jf != pfirst || jl != plast) return false;
+      cand = lo_i + 1;
+    }
+    if (pt.bot_child != nullptr && pt.n_children > 0) {
+      const GenomeT& ct = g[static_cast<size_t>(t.parent)];
+      int64_t slot = t.slot_in_parent;
+      if (ct.bot_child[cand * ct.n_children + slot] >= 0) return false;
+    }
+    int64_t lo = pt.bot_start[cand];
+    int64_t hi = pt.bot_start[cand + 1];
+    if (hi - lo + cum > max_ref_gap) return false;
+    out->gid = static_cast<int32_t>(t.parent);
+    out->first = lo;
+    out->last = hi - 1;
+    out->rev = pori;
+    return true;
+  }
+
+  // ColumnDFS._eval_ins_site (column.py:557-601)
+  bool eval_ins_site(int32_t gid, int64_t i, bool o, int64_t cum,
+                     StackE* out) {
+    const GenomeT& t = g[gid];
+    if (t.top_parent[i] < 0) return false;
+    int64_t sfirst, slast;
+    seq_span(t.seq_top, t.n_seq, i, &sfirst, &slast);
+    if (o ? i == sfirst : i == slast) return false;
+    int64_t step = o ? -1 : 1;
+    int64_t j = i + step;
+    if (t.top_parent[j] >= 0) return false;
+    int64_t k = j;
+    while (true) {
+      int64_t nxt = k + step;
+      if (nxt < sfirst || nxt > slast || t.top_parent[nxt] >= 0) break;
+      k = nxt;
+    }
+    bool first_iter = o ? j == slast : j == sfirst;
+    bool last_iter = o ? k == sfirst : k == slast;
+    if (!(first_iter || last_iter)) {
+      int64_t b = k + step;
+      int64_t pa = t.top_parent[i], pb = t.top_parent[b];
+      if (pb < 0) return false;
+      const GenomeT& pt = g[t.parent];
+      int64_t fa, la, fb, lb;
+      seq_span(pt.seq_bot, pt.n_seq, pa, &fa, &la);
+      seq_span(pt.seq_bot, pt.n_seq, pb, &fb, &lb);
+      int64_t d = pa > pb ? pa - pb : pb - pa;
+      if (d == 1) {
+      } else if (fa == fb && la == lb &&
+                 (pa == fa || pa == la || pb == fb || pb == lb)) {
+      } else {
+        return false;
+      }
+    }
+    int64_t lo = t.top_start[j];
+    int64_t hi = t.top_start[j + 1];
+    if (hi - lo + cum > max_ref_gap) return false;
+    out->gid = gid;
+    out->first = lo;
+    out->last = hi - 1;
+    out->rev = o;
+    return true;
+  }
+
+  // ColumnDFS.collect_indels (column.py:603-634): deletions REVERSED then
+  // insertions, entry cumulative sizes per fresh stack
+  void collect_indels(int64_t run, int64_t cum, std::vector<StackE>* out) {
+    std::vector<StackE> dels, inss;
+    StackE e;
+    for (const Site& s : del_sites) {
+      if (s.rem != run) continue;
+      if (eval_del_site(s.gid, s.i, s.o, cum, &e)) {
+        e.cum = dels.empty() ? 0
+                             : dels.back().cum +
+                                   (dels.back().last - dels.back().first + 1);
+        e.idx = e.rev ? e.last : e.first;
+        dels.push_back(e);
+      }
+    }
+    for (const Site& s : ins_sites) {
+      if (s.rem != run) continue;
+      if (eval_ins_site(s.gid, s.i, s.o, cum, &e)) {
+        e.cum = inss.empty() ? 0
+                             : inss.back().cum +
+                                   (inss.back().last - inss.back().first + 1);
+        e.idx = e.rev ? e.last : e.first;
+        inss.push_back(e);
+      }
+    }
+    for (auto it = dels.rbegin(); it != dels.rend(); ++it) out->push_back(*it);
+    for (const StackE& s : inss) out->push_back(s);
+  }
+
+  // iter_slices_exact._filter_and_record (column.py:704-719): build brows
+  // from `rows` over k columns, drop rows fully covered by the visit
+  // cache, record this run's visits for the live genomes.  Returns true
+  // when any row survived.
+  bool make_filtered_brows(int64_t k, const std::set<int32_t>& live) {
+    brows.clear();
+    brows.reserve(rows.size());
+    for (const RowRef& r : rows) {
+      BRow b;
+      b.gid = r.gid;
+      b.seq = static_cast<int32_t>(g[r.gid].seq_of(r.pos));
+      b.rev = r.rev;
+      if (r.rev) {
+        b.lo = r.pos - k + 1;
+        b.hi = r.pos + 1;
+      } else {
+        b.lo = r.pos;
+        b.hi = r.pos + k;
+      }
+      auto it = visit.find(r.gid);
+      if (it != visit.end() && it->second.covers(b.lo, b.hi)) continue;
+      brows.push_back(b);
+    }
+    std::stable_sort(brows.begin(), brows.end(),
+                     [this](const BRow& a, const BRow& b) {
+                       int64_t ra = g[a.gid].name_rank;
+                       int64_t rb = g[b.gid].name_rank;
+                       return ra != rb ? ra < rb : a.seq < b.seq;
+                     });
+    for (const RowRef& v : visits) {
+      if (!live.count(v.gid)) continue;
+      PosCache& pc = visit[v.gid];
+      if (v.rev)
+        pc.add(v.pos - k + 1, v.pos + 1);
+      else
+        pc.add(v.pos, v.pos + k);
+    }
+    return !brows.empty();
+  }
+
+  // iter_slices_exact with max_ref_gap > 0 (column.py:721-816)
+  int export_window_indel(int64_t gs, int64_t ge) {
+    started = reference != nullptr;
+    if (started) {
+      bool any = false;
+      for (auto& e : entries)
+        if (e->start != -1) {
+          any = true;
+          break;
+        }
+      started = any;
+    }
+    track_visits = true;
+    visit.clear();
+    std::vector<StackE> stack;
+    int64_t pos = gs;
+    while (pos < ge || !stack.empty()) {
+      if (!stack.empty()) {
+        StackE& e = stack.back();
+        auto vit = visit.find(e.gid);
+        if (vit != visit.end()) {
+          int64_t idx = e.idx, lo, hi;
+          while (idx <= e.last && vit->second.interval_at(idx, &lo, &hi))
+            idx = hi;  // nextFreeIndex (column.py:726-737)
+          e.idx = idx;
+          if (idx < e.first || idx > e.last) {
+            stack.pop_back();
+            continue;
+          }
+        }
+        run_from(e.gid, e.idx, e.rev);
+        int64_t remaining = e.rev ? e.idx - e.first + 1 : e.last - e.idx + 1;
+        int64_t run = limit < remaining ? limit : remaining;
+        if (run <= 0) return -1;
+        if (vit != visit.end()) {
+          int64_t fr = vit->second.free_run(e.idx, !e.rev);
+          if (fr < run) run = fr;
+        }
+        std::set<int32_t> live;
+        live.insert(ref);
+        for (const StackE& s : stack) live.insert(s.gid);
+        if (make_filtered_brows(run, live)) feed_run(pos, run);
+        std::vector<StackE> subs;
+        if (stack.size() < 64) collect_indels(run, e.cum, &subs);
+        // e may dangle after push_back — update via index
+        size_t ei = stack.size() - 1;
+        stack[ei].idx = stack[ei].rev ? stack[ei].idx - run
+                                      : stack[ei].idx + run;
+        bool done = stack[ei].rev ? stack[ei].idx < stack[ei].first
+                                  : stack[ei].idx > stack[ei].last;
+        if (done) stack.erase(stack.begin() + ei);
+        for (const StackE& s : subs) stack.push_back(s);
+        continue;
+      }
+      run_from(ref, pos, false);
+      int64_t run = limit < ge - pos ? limit : ge - pos;
+      if (run <= 0) return -1;
+      int64_t kemit = run;
+      if (unique) {
+        for (auto& pr : refpos) {
+          int64_t p0 = pr.first;
+          if (pr.second) {
+            if (p0 < pos)
+              kemit = 0;
+            else if (p0 > pos) {
+              int64_t k2 = (p0 - pos) / 2 + 1;
+              if (k2 < kemit) kemit = k2;
+            }
+          } else if (p0 < pos) {
+            kemit = 0;
+          }
+        }
+      }
+      if (kemit > 0) {
+        // rows built over kemit columns, visits recorded over the RUN
+        // (column.py:807-812 passes run to _filter_and_record)
+        std::set<int32_t> live;
+        live.insert(ref);
+        // build rows at kemit width, then record at run width: mirror by
+        // temporarily building brows at kemit and recording separately
+        brows.clear();
+        for (const RowRef& r : rows) {
+          BRow b;
+          b.gid = r.gid;
+          b.seq = static_cast<int32_t>(g[r.gid].seq_of(r.pos));
+          b.rev = r.rev;
+          if (r.rev) {
+            b.lo = r.pos - kemit + 1;
+            b.hi = r.pos + 1;
+          } else {
+            b.lo = r.pos;
+            b.hi = r.pos + kemit;
+          }
+          auto it = visit.find(r.gid);
+          if (it != visit.end() && it->second.covers(b.lo, b.hi)) continue;
+          brows.push_back(b);
+        }
+        std::stable_sort(brows.begin(), brows.end(),
+                         [this](const BRow& a, const BRow& b) {
+                           int64_t ra = g[a.gid].name_rank;
+                           int64_t rb = g[b.gid].name_rank;
+                           return ra != rb ? ra < rb : a.seq < b.seq;
+                         });
+        for (const RowRef& v : visits) {
+          if (v.gid != ref) continue;
+          PosCache& pc = visit[v.gid];
+          if (v.rev)
+            pc.add(v.pos - run + 1, v.pos + 1);
+          else
+            pc.add(v.pos, v.pos + run);
+        }
+        if (!brows.empty()) feed_run(pos, kemit);
+      }
+      std::vector<StackE> subs;
+      collect_indels(run, 0, &subs);
+      for (const StackE& s : subs) stack.push_back(s);
+      pos += run;
+    }
+    return 0;
+  }
+
+  // iter_slices_exact shared_visit branch (column.py:756-796) — one
+  // --global pass for the current ref; shared_visit persists across refs
+  int export_window_global(int64_t gs, int64_t ge) {
+    started = reference != nullptr;
+    if (started) {
+      bool any = false;
+      for (auto& e : entries)
+        if (e->start != -1) {
+          any = true;
+          break;
+        }
+      started = any;
+    }
+    track_visits = true;
+    int64_t pos = gs;
+    std::vector<char> bad;
+    while (pos < ge) {
+      run_from(ref, pos, false);
+      int64_t run = limit < ge - pos ? limit : ge - pos;
+      if (run <= 0) return -1;
+      int64_t k = run;
+      bad.assign(static_cast<size_t>(k), 0);
+      for (const RowRef& v : visits) {
+        auto it = shared_visit.find(v.gid);
+        if (it == shared_visit.end()) continue;
+        int64_t vlo = v.rev ? v.pos - k + 1 : v.pos;
+        int64_t vhi = v.rev ? v.pos + 1 : v.pos + k;
+        it->second.overlaps(vlo, vhi, [&](int64_t a, int64_t b) {
+          int64_t o0 = v.rev ? v.pos - b + 1 : a - v.pos;
+          int64_t o1 = v.rev ? v.pos - a + 1 : b - v.pos;
+          for (int64_t x = o0; x < o1; ++x) bad[static_cast<size_t>(x)] = 1;
+        });
+      }
+      PosCache& pc = shared_visit[ref];
+      for (const RowRef& v : visits) {
+        if (v.gid != ref) continue;
+        if (v.rev)
+          pc.add(v.pos - k + 1, v.pos + 1);
+        else
+          pc.add(v.pos, v.pos + k);
+      }
+      int64_t o = 0;
+      while (o < k) {
+        if (bad[static_cast<size_t>(o)]) {
+          ++o;
+          continue;
+        }
+        int64_t o1 = o;
+        while (o1 < k && !bad[static_cast<size_t>(o1)]) ++o1;
+        brows.clear();
+        for (const RowRef& r : rows) {
+          int64_t p2 = r.rev ? r.pos - o : r.pos + o;
+          BRow b;
+          b.gid = r.gid;
+          b.seq = static_cast<int32_t>(g[r.gid].seq_of(p2));
+          b.rev = r.rev;
+          if (r.rev) {
+            b.lo = p2 - (o1 - o) + 1;
+            b.hi = p2 + 1;
+          } else {
+            b.lo = p2;
+            b.hi = p2 + (o1 - o);
+          }
+          brows.push_back(b);
+        }
+        std::stable_sort(brows.begin(), brows.end(),
+                         [this](const BRow& a, const BRow& b) {
+                           int64_t ra = g[a.gid].name_rank;
+                           int64_t rb = g[b.gid].name_rank;
+                           return ra != rb ? ra < rb : a.seq < b.seq;
+                         });
+        if (!brows.empty()) feed_run(pos + o, o1 - o);
+        o = o1;
+      }
+      pos += run;
+    }
+    return 0;
+  }
+
   // ---------------------------------------------------- fragment assembler
   // Consumer for the DEVICE column engine (hal_tpu/ops/column_jax.py):
   // fragments arrive pre-sorted by global row precedence (genome name
@@ -715,6 +1204,7 @@ void* ce_new(int64_t n_genomes, int64_t ref_gid, int64_t flags,
   e->unique = flags & 8;
   e->has_scope = flags & 16;
   e->has_targets = flags & 32;
+  e->keep_empty_ref_blocks = (flags & 64) == 0;
   e->max_len = max_block_len > 0 ? max_block_len : 1000;
   return e;
 }
@@ -769,8 +1259,34 @@ void ce_add_genome(void* h, int64_t gid, const char* name, int64_t parent_gid,
 
 int64_t ce_export(void* h, int64_t gs, int64_t ge) {
   Engine* e = static_cast<Engine*>(h);
-  if (e->export_window(gs, ge) != 0) return -1;
+  int rc;
+  if (e->global_mode)
+    rc = e->export_window_global(gs, ge);
+  else if (e->max_ref_gap > 0)
+    rc = e->export_window_indel(gs, ge);
+  else
+    rc = e->export_window(gs, ge);
+  if (rc != 0) return -1;
   return static_cast<int64_t>(e->out.size());
+}
+
+void ce_set_opts(void* h, int64_t max_ref_gap, int64_t global_mode) {
+  Engine* e = static_cast<Engine*>(h);
+  e->max_ref_gap = max_ref_gap;
+  e->global_mode = global_mode != 0;
+  e->track_visits = e->max_ref_gap > 0 || e->global_mode;
+}
+
+// --global: re-target the engine to a new reference genome, resetting the
+// block machine (the Python driver builds a fresh MafBlockBuilder per
+// ref pass, halMafExport.cpp:90-160) while shared_visit persists
+void ce_set_ref(void* h, int64_t ref_gid) {
+  Engine* e = static_cast<Engine*>(h);
+  e->ref = static_cast<int32_t>(ref_gid);
+  e->entries.clear();
+  e->reference = nullptr;
+  e->ref_index = -1;
+  e->started = false;
 }
 
 int64_t ce_export_frags(void* h, int64_t n_frag, const int64_t* s_lo,

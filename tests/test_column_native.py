@@ -132,9 +132,10 @@ def test_random_scope_and_targets():
 
 def test_maybe_native_exporter_gates():
     aln = three_genome_alignment()
-    assert cn.maybe_native_exporter(aln, "A", max_ref_gap=5) is None
+    # r5: maxRefGap and --global are now native; printTree still gates
+    assert cn.maybe_native_exporter(aln, "A", max_ref_gap=5) is not None
     assert cn.maybe_native_exporter(aln, "A", print_tree=True) is None
-    assert cn.maybe_native_exporter(aln, "A", shared_visit={}) is None
+    assert cn.maybe_native_exporter(aln, "A", shared_visit={}) is not None
     assert cn.maybe_native_exporter(aln, "A") is not None
     # DNA-less genomes cannot take the native path
     from hal_tpu.randgen import create_random_alignment
@@ -184,3 +185,73 @@ def test_multi_sequence_genomes():
         _assert_equal(aln, ref, 0, ge)
         _assert_equal(aln, ref, 0, ge, max_block_len=3)
         _assert_equal(aln, ref, 2, ge - 3, unique=True)
+
+
+def test_native_max_ref_gap_parity():
+    """Native indel stacks (--maxRefGap) == Python exact path, byte-equal
+    (VERDICT r4 missing #4: the 50x flag cliff)."""
+    from hal_tpu.randgen import create_random_alignment
+    from hal_tpu.io.maf_io import MafBlockBuilder
+    from hal_tpu.ops.column_native import NativeMafExporter, available
+
+    if not available():
+        pytest.skip("native column engine not built")
+    for seed in (11, 42, 77):
+        aln = create_random_alignment(seed=seed, max_genomes=7,
+                                      min_genomes=5, min_segments=6,
+                                      max_segments=30, min_segment_length=3,
+                                      max_segment_length=12)
+        leaves = [n for n in aln.genome_names() if aln.tree.is_leaf(n)]
+        for ref in (leaves[0], leaves[-1]):
+            ge = int(aln.open_genome(ref).length)
+            for gap in (5, 20):
+                b = MafBlockBuilder(aln, ref, ucsc_names=True,
+                                    keep_empty_ref_blocks=False)
+                blocks = list(b.feed(iter_slices_exact(
+                    aln, ref, 0, ge, max_ref_gap=gap)))
+                t = b.flush_end()
+                if t:
+                    blocks.append(t)
+                want = ("\n".join(blocks) + "\n").encode() if blocks else b""
+                ex = NativeMafExporter(aln, ref, max_ref_gap=gap,
+                                       keep_empty_ref_blocks=False)
+                got = ex.export(0, ge) + ex.finish()
+                ex.close()
+                assert got == want, (seed, ref, gap)
+
+
+def test_native_global_parity():
+    """Native --global (shared visit cache across per-leaf passes) ==
+    Python exact path, byte-equal."""
+    from hal_tpu.randgen import create_random_alignment
+    from hal_tpu.io.maf_io import MafBlockBuilder
+    from hal_tpu.ops.column_native import NativeMafExporter, available
+
+    if not available():
+        pytest.skip("native column engine not built")
+    for seed in (11, 42, 104):
+        aln = create_random_alignment(seed=seed, max_genomes=7,
+                                      min_genomes=5, min_segments=6,
+                                      max_segments=30, min_segment_length=3,
+                                      max_segment_length=12)
+        leaves = [n for n in aln.genome_names() if aln.tree.is_leaf(n)]
+        out = []
+        visited = {}
+        for ref in leaves:
+            g = aln.open_genome(ref)
+            b = MafBlockBuilder(aln, ref, ucsc_names=True)
+            out.extend(b.feed(iter_slices_exact(aln, ref, 0, g.length,
+                                                shared_visit=visited)))
+            t = b.flush_end()
+            if t:
+                out.append(t)
+        want = ("\n".join(out) + "\n").encode() if out else b""
+        ex = NativeMafExporter(aln, leaves[0], global_mode=True)
+        got = b""
+        for ref in leaves:
+            ex.set_ref(ref)
+            g = aln.open_genome(ref)
+            got += ex.export(0, int(g.length))
+            got += ex.finish()
+        ex.close()
+        assert got == want, seed
