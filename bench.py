@@ -207,33 +207,63 @@ def bench_hal2maf_device(budget_ok):
     sys.stderr.write("device maf: %d-column window byte-equal to the "
                      "native engine (%.1f MB)\n" % (Wd, len(want) / 1e6))
 
-    # steady state: N windows; device phase scalar-synced, then drain +
-    # assembly.  Output goes to /dev/null; text assembly IS included.
+    # steady state: N windows, PIPELINED — the main thread dispatches
+    # window k+1 (packed: one wire buffer per window) while a worker
+    # drains + native-assembles window k (ce_export_frags releases the
+    # GIL; the tunnel transfer overlaps device execution per SCALING.md).
+    # Output goes to /dev/null; text assembly IS included.
+    import queue as _q
+    import threading as _th
+
     N_WIN = 6
+    # warm the packed program + measure the device phase scalar-synced
+    big, tots, ovf = eng.dispatch_window_packed(0, Wd)[:3]
+    assert not bool(np.asarray(ovf.reshape(1))[0])
+    t0 = time.time()
+    big, tots, ovf, oc_all = eng.dispatch_window_packed(0, Wd)
+    _ = int(np.asarray(ovf.reshape(1))[0])
+    t_dev1 = time.time() - t0
+    dev_rate = Wd / max(t_dev1, 1e-9)
+
     ex = NativeMafExporter(aln, ref)
     out = open(os.devnull, "wb")
-    t_dev = 0.0
+    work: "_q.Queue" = _q.Queue(maxsize=2)
+    nbytes_maf = [0]
+
+    def _assembler():
+        while True:
+            item = work.get()
+            if item is None:
+                return
+            gs, ge, bigv, totsv, ovfv, ocs = item
+            assert not bool(np.asarray(ovfv.reshape(1))[0]), \
+                "packed window overflow"
+            frags = eng.collect_packed(np.asarray(bigv), np.asarray(totsv),
+                                       ocs, gs, ge)
+            b = ex.export_frags(gs, ge, frags)
+            nbytes_maf[0] += len(b)
+            out.write(b)
+
+    th = _th.Thread(target=_assembler)
+    th.start()
     t0 = time.time()
     for k in range(1, N_WIN + 1):
         gs, ge = k * Wd, (k + 1) * Wd
-        td = time.time()
-        pend = eng.dispatch_window(gs, ge)
-        _ = int(np.asarray(pend[-1][2].reshape(1))[0])  # scalar sync
-        t_dev += time.time() - td
-        frags = eng.collect(pend, gs, ge)
-        frags = eng._postsplit(frags)
-        out.write(ex.export_frags(gs, ge, frags))
+        big, tots, ovf, oc_all = eng.dispatch_window_packed(gs, ge)
+        work.put((gs, ge, big, tots, ovf, oc_all))
+    work.put(None)
+    th.join()
     out.write(ex.finish())
     out.close()
     ex.close()
     dt = time.time() - t0
     cols = N_WIN * Wd
     e2e = cols / dt
-    dev_rate = cols / max(t_dev, 1e-9)
-    sys.stderr.write("device maf e2e: %.1fs for %d columns -> %.0f "
-                     "columns/s (device phase %.2fs -> %.0f columns/s; "
-                     "drain+assembly %.1fs)\n"
-                     % (dt, cols, e2e, t_dev, dev_rate, dt - t_dev))
+    sys.stderr.write("device maf e2e (pipelined, 1-wire windows): %.1fs "
+                     "for %d columns -> %.0f columns/s (%.0f MB MAF); "
+                     "device phase %.2fs/window -> %.0f columns/s\n"
+                     % (dt, cols, e2e, nbytes_maf[0] / 1e6, t_dev1,
+                        dev_rate))
     return e2e, dev_rate
 
 
@@ -584,6 +614,9 @@ def main():
     # crosses the tunnel in a few MB instead of 0.5 GB
     from hal_tpu.ops.depth import rle_decode, rle_encode_device
 
+    # warm the RLE compiles (shape-specialized; the timed pass below
+    # dispatches fresh wire arrays, so its drain is a genuine first fetch)
+    rle_encode_device(total_dev)
     t0 = time.time()
     starts_r, vals_r = rle_encode_device(total_dev)
     rle_dt = time.time() - t0
