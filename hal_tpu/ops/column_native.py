@@ -32,8 +32,9 @@ def _load():
     _tried = True
     if os.environ.get("HALTPU_NO_NATIVE"):
         return None
-    path = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)))), "native", "libhalcolumn.so")
+    path = os.environ.get("HALTPU_COLUMN_LIB") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "native", "libhalcolumn.so")
     if not os.path.exists(path):
         return None
     try:

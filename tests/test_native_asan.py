@@ -108,3 +108,58 @@ def test_blockviz_server_under_asan(tmp_path):
     r = _run_driver(exe, lib, halz, q, t, chrom)
     assert r.returncode == 0, (r.stdout + r.stderr).decode()[-2500:]
     assert b"OK" in r.stdout
+
+
+def test_column_engine_under_asan(asan_lib, tmp_path):
+    """The full native column surface — plain export, --maxRefGap indel
+    stacks, --global shared visit passes, and the fragment-table
+    assembler — driven under AddressSanitizer/UBSan (leak detection off:
+    the host is a full CPython).  Any OOB/UB aborts the subprocess."""
+    import sys
+
+    gcc = shutil.which("gcc")
+    libasan = subprocess.run([gcc, "-print-file-name=libasan.so"],
+                             capture_output=True,
+                             text=True).stdout.strip()
+    if not libasan or not os.path.exists(libasan):
+        pytest.skip("libasan not found")
+    script = tmp_path / "drive.py"
+    script.write_text("""
+import numpy as np
+from hal_tpu.randgen import create_random_alignment
+from hal_tpu.ops.column_native import NativeMafExporter, available
+from hal_tpu.ops.column_jax import ColumnHostSim, build_programs, _target_frags_host
+from hal_tpu.ops.column import compute_scope
+assert available()
+aln = create_random_alignment(seed=42, max_genomes=6, min_genomes=5,
+                              min_segments=5, max_segments=20,
+                              min_segment_length=3, max_segment_length=10)
+leaves = [n for n in aln.genome_names() if aln.tree.is_leaf(n)]
+ref = leaves[0]
+ge = int(aln.open_genome(ref).length)
+ex = NativeMafExporter(aln, ref)
+ex.export(0, ge); ex.finish(); ex.close()
+ex = NativeMafExporter(aln, ref, max_ref_gap=8, keep_empty_ref_blocks=False)
+ex.export(0, ge); ex.finish(); ex.close()
+ex = NativeMafExporter(aln, leaves[0], global_mode=True)
+for r in leaves:
+    ex.set_ref(r)
+    ex.export(0, int(aln.open_genome(r).length)); ex.finish()
+ex.close()
+scope, root = compute_scope(aln, ref)
+sim = ColumnHostSim(aln)
+frags = _target_frags_host(sim, build_programs(aln, ref, scope, root), 0, ge)
+ex = NativeMafExporter(aln, ref)
+ex.export_frags(0, ge, frags); ex.finish(); ex.close()
+print("COLUMN-ASAN-OK")
+""")
+    env = dict(os.environ)
+    env["HALTPU_COLUMN_LIB"] = os.path.join(NATIVE, "libhalcolumn_asan.so")
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["LD_PRELOAD"] = libasan
+    env["ASAN_OPTIONS"] = "detect_leaks=0:abort_on_error=1"
+    env["UBSAN_OPTIONS"] = "halt_on_error=1"
+    r = subprocess.run([sys.executable, str(script)], capture_output=True,
+                       env=env, timeout=600, cwd=REPO)
+    assert r.returncode == 0, (r.stdout + r.stderr).decode()[-3000:]
+    assert b"COLUMN-ASAN-OK" in r.stdout
