@@ -93,8 +93,16 @@ class Handle:
     LOD manifest."""
 
     def __init__(self, path: str):
+        from hal_tpu.storage.remote import is_url
+
         self.path = path
         self.lod = None
+        if is_url(path):
+            # remote browser serving — the reference's UDC headline use
+            # case (README.md:126-131); halz URLs page 8 KiB blocks via
+            # RemoteArray, hdf5 URLs via the BlockFile h5py file object
+            self.aln = open_alignment(path)
+            return
         if not os.path.isdir(path):
             with open(path, "rb") as fh:
                 head = fh.read(64)

@@ -295,3 +295,48 @@ def test_remote_halz_block_granular_liftover(tmp_path):
             "fetched %d of %d array bytes" % (fetched, total)
     finally:
         srv.shutdown()
+
+
+def test_remote_halz_blockviz_query(tmp_path):
+    """Browser snake query over a REMOTE halz (the reference's UDC
+    headline use case, README.md:126-131): blocks equal the local engine
+    and only a fraction of the arrays crosses the wire."""
+    from hal_tpu import blockviz as bv
+    from hal_tpu.storage.remote import RemoteArray
+
+    aln = create_random_alignment(seed=9, max_genomes=4, min_genomes=3,
+                                  min_segments=120000, max_segments=130000,
+                                  min_segment_length=30,
+                                  max_segment_length=34, fast_dna=True)
+    save_alignment(aln, str(tmp_path / "bv.halz"), fmt="halz")
+    handler = type("RH3", (RangeHandler,), {"served_bytes": [0]})
+    d = str(tmp_path)
+    srv = HTTPServer(("127.0.0.1", 0),
+                     lambda *a, **kw: handler(*a, directory=d, **kw))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        RemoteArray._bf_cache.clear()
+        url = "http://127.0.0.1:%d/bv.halz" % srv.server_address[1]
+        leaves = [n for n in sorted(aln.genome_names())
+                  if aln.tree.is_leaf(n)]
+        q, tg = leaves[0], leaves[-1]
+        tseq = aln.open_genome(tg).seq_names[0]
+        h_remote = bv.hal_open(url)
+        h_local = bv.hal_open(str(tmp_path / "bv.halz"))
+        got = bv.get_blocks_in_target_range(
+            h_remote, q, tg, tseq, 5000, 5400,
+            seq_mode=bv.HAL_LOD0_SEQUENCE)
+        want = bv.get_blocks_in_target_range(
+            h_local, q, tg, tseq, 5000, 5400,
+            seq_mode=bv.HAL_LOD0_SEQUENCE)
+        assert repr(got) == repr(want)
+        ras = h_remote.aln.remote_arrays
+        total = sum(ra.nbytes for (_n, _a, ra) in ras)
+        fetched = sum(bf.bytes_fetched
+                      for bf in {id(ra.bf): ra.bf
+                                 for (_n, _a, ra) in ras}.values())
+        assert fetched < total // 10, \
+            "browser query fetched %d of %d bytes" % (fetched, total)
+    finally:
+        srv.shutdown()
