@@ -184,7 +184,16 @@ class DepthEngine:
         self.gs, self.ge = int(gs), int(ge)
         self.count_dupes = count_dupes
         tree = aln.tree
-        sim = sj._HostSim(aln, do_dupes=True)
+        # per-alignment caches: PathData tables and the host-sim ring CSRs
+        # are WINDOW-INDEPENDENT — the halAlignmentDepth tool constructs
+        # one engine per 1 MB window, and rebuilding mammal-scale tables
+        # per window dominated its host time
+        caches = getattr(aln, "_depth_caches", None)
+        if caches is None:
+            caches = aln._depth_caches = {
+                "sim": sj._HostSim(aln, do_dupes=True), "paths": {}}
+        sim = caches["sim"]
+        path_cache = caches["paths"]
         self.jobs = []   # (path, lo_dev, hi_dev, caps)
         host_base = np.zeros(self.window, np.int64)
         for g in sorted(scope):
@@ -204,8 +213,11 @@ class DepthEngine:
                 np.add.at(d, frags.src_hi - gs, -1)
                 host_base += np.cumsum(d[:-1])
                 continue
-            path = sj.PathData.build(aln, ref, g, do_dupes=True,
-                                     coalescence_limit=limit)
+            pkey = (ref, g, limit)
+            path = path_cache.get(pkey)
+            if path is None:
+                path = path_cache[pkey] = sj.PathData.build(
+                    aln, ref, g, do_dupes=True, coalescence_limit=limit)
             totals, _final = sj.host_path_totals(
                 aln, ref, g, [gs], [ge], do_dupes=True,
                 coalescence_limit=limit, sim=sim)
