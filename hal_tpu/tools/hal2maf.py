@@ -7,11 +7,9 @@ from __future__ import annotations
 
 import sys
 
-import numpy as np
-
 from hal_tpu import open_alignment
 from hal_tpu.io.maf_io import DEFAULT_MAX_BLOCK_LEN, MafBlockBuilder, write_header
-from hal_tpu.ops.column import compute_scope, iter_slices_exact
+from hal_tpu.ops.column import iter_slices_exact
 from hal_tpu.tools import HalError, add_storage_options, make_parser, tool_main
 
 # reference windows are processed in chunks so memory stays bounded on
