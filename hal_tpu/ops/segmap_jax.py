@@ -798,21 +798,27 @@ def _runs_packed_jit(F, lo, seq_grid, out_cols, len_bits):
         return (b << (jnp.arange(4, dtype=u) * 8)[None, :]).sum(
             axis=1, dtype=u)
 
-    is_one = counts32 == 1
+    codes = jnp.minimum(counts32, 3)           # 2-bit count code, 3=escape
+    esc = codes == 3
     exc_cap = _exc_cap(n_own)
-    exc_pos = jnp.cumsum((~is_one).astype(jnp.int32)) - 1
+    exc_pos = jnp.cumsum(esc.astype(jnp.int32)) - 1
     n_exc = jnp.where(n_own > 0, exc_pos[-1] + 1, 0)
-    exc_idx = jnp.where(~is_one, exc_pos, exc_cap)
+    exc_idx = jnp.where(esc, exc_pos, exc_cap)
     exc_vals = jnp.zeros(exc_cap, u).at[exc_idx].set(
         jnp.minimum(counts32, 255).astype(u), mode="drop")
     overflow = overflow | (n_exc > exc_cap)
+
+    def crumbs32(v):  # 2-bit codes -> packed u32 words, little-endian
+        b = padto(v, 16).reshape(-1, 16)
+        return (b << (jnp.arange(16, dtype=u) * 2)[None, :]).sum(
+            axis=1, dtype=u)
 
     p2 = padto(pack, 2).reshape(-1, 2)
     wire = jnp.concatenate([
         jnp.where(in_run, out_tlo, u(0)),
         p2[:, 0] | (p2[:, 1] << 16),
         bits32(jnp.where(in_run, out_rev, u(0))),
-        bits32(is_one.astype(u)),
+        crumbs32(codes.astype(u)),
         bytes4(exc_vals),
         bits32((dup_own > 0).astype(u)),
     ])
@@ -830,17 +836,18 @@ def target_seq_grid(genome):
 
 
 def _exc_cap(n_own: int) -> int:
-    """Static size of the run-count exception region: 1/8 of the owners
-    (plenty at production batch sizes where ~99% of owners are
-    single-run), but never less than full coverage for small batches."""
-    return max(n_own // 8, min(n_own, 4096), 4)
+    """Static size of the run-count escape region: only owners with >= 3
+    runs escape the 2-bit code (rare — an owner needs two+ break points
+    inside one query interval), but never less than full coverage for
+    small batches."""
+    return max(n_own // 32, min(n_own, 4096), 4)
 
 
 def wire_words(out_cols: int, n_own: int) -> int:
     """Length in u32 words of _runs_packed_jit's wire buffer."""
     exc_cap = _exc_cap(n_own)
     return (out_cols + (out_cols + 1) // 2 + (out_cols + 31) // 32
-            + (n_own + 31) // 32 + (exc_cap + 3) // 4
+            + (n_own + 15) // 16 + (exc_cap + 3) // 4
             + (n_own + 31) // 32)
 
 
@@ -854,7 +861,7 @@ def decode_runs_packed(wire, run_total, lo, out_cols: int, len_bits: int):
     c = out_cols
     c2 = (c + 1) // 2
     cb = (c + 31) // 32
-    nb = (n_own + 31) // 32
+    nb = (n_own + 15) // 16
     exc_cap = _exc_cap(n_own)
     e4 = (exc_cap + 3) // 4
     tl = w[:c][:k].astype(np.int64)
@@ -868,12 +875,14 @@ def decode_runs_packed(wire, run_total, lo, out_cols: int, len_bits: int):
     rb = np.unpackbits(w[c + c2:c + c2 + cb].view(np.uint8),
                        bitorder="little")[:k]
     o = c + c2 + cb
-    is_one = np.unpackbits(w[o:o + nb].view(np.uint8),
-                           bitorder="little")[:n_own].astype(bool)
+    cw = w[o:o + nb]
+    shifts = (np.arange(16, dtype=np.uint32) * 2)[None, :]
+    codes = ((cw[:, None] >> shifts) & 3).reshape(-1)[:n_own].astype(np.int64)
     exc = w[o + nb:o + nb + e4].view(np.uint8)
-    counts = np.ones(n_own, np.int64)
-    n_exc = int((~is_one).sum())
-    counts[~is_one] = exc[:n_exc].astype(np.int64)
+    counts = codes.copy()
+    esc = codes == 3
+    n_exc = int(esc.sum())
+    counts[esc] = exc[:n_exc].astype(np.int64)
     dupes = np.unpackbits(w[o + nb + e4:].view(np.uint8),
                           bitorder="little")[:n_own].astype(bool)
     own = np.repeat(np.arange(n_own, dtype=np.int64), counts)
