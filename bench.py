@@ -387,8 +387,17 @@ def main():
                                          with_final=True)
     out_cols = sj._bucket_cap(final_rows)
     seq_grid = sj.target_seq_grid(aln.open_genome(tgt))
+    EXC_CAP = None  # default n_own/32 escape region (segmap_jax._exc_cap)
     wire0, tot0, ovf0 = sj._runs_packed_jit(F, lo_d, seq_grid, out_cols,
-                                            LEN_BITS)
+                                            LEN_BITS, EXC_CAP)
+    if fetch_scalar(ovf0):
+        # degrade, don't die: a count distribution beyond the escape
+        # region retries once with full-coverage escapes (+1 MB wire)
+        sys.stderr.write("packed runs: escape region overflow; retrying "
+                         "with full-coverage escapes\n")
+        EXC_CAP = N_INTERVALS
+        wire0, tot0, ovf0 = sj._runs_packed_jit(F, lo_d, seq_grid, out_cols,
+                                                LEN_BITS, EXC_CAP)
     assert not fetch_scalar(ovf0), "packed runs overflow"  # warm compile
 
     # tunnel bandwidth right now (the e2e denominator's health): time the
@@ -410,7 +419,7 @@ def main():
     for _ in range(TIMED_ITERS):
         F, bound, ovf, _ = sj._map_batch_jit(path, lo_d, hi_d, own_d, caps)
         pending.append(sj._runs_packed_jit(F, lo_d, seq_grid, out_cols,
-                                           LEN_BITS))
+                                           LEN_BITS, EXC_CAP))
     tot_all = np.asarray(jnp.stack([p[1] for p in pending]))
     t_dev = time.time() - t0
     wires = np.asarray(jnp.stack([p[0] for p in pending]))
@@ -451,7 +460,7 @@ def main():
     for _ in range(TIMED_ITERS):
         F, bound, ovf, _ = sj._map_batch_jit(path, lo_d, hi_d, own_d, caps)
         w2, tot2, ovf2 = sj._runs_packed_jit(F, lo_d, seq_grid, out_cols,
-                                             LEN_BITS)
+                                             LEN_BITS, EXC_CAP)
         dq.put(w2)
         pend2.append((tot2, ovf2))
     dq.put(None)
@@ -472,7 +481,7 @@ def main():
     # honesty check: decoded runs equal the host's extract_runs (the
     # reference merge semantics) on a sample of owners of the last batch
     s_lo_d, s_hi_d, t_lo_d, t_hi_d, rev_d, own_d2, dupes_d = \
-        sj.decode_runs_packed(wires[-1], k, lo, out_cols, LEN_BITS)
+        sj.decode_runs_packed(wires[-1], k, lo, out_cols, LEN_BITS, EXC_CAP)
     from hal_tpu.ops import segmap_host as sm
     from hal_tpu.ops.liftover import extract_runs
 

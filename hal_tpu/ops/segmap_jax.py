@@ -691,8 +691,9 @@ def _compact_u32_fixed_jit(F, out_cols, len_bits):
     return out, total, ovf
 
 
-@functools.partial(jax.jit, static_argnames=("out_cols", "len_bits"))
-def _runs_packed_jit(F, lo, seq_grid, out_cols, len_bits):
+@functools.partial(jax.jit,
+                   static_argnames=("out_cols", "len_bits", "exc_cap"))
+def _runs_packed_jit(F, lo, seq_grid, out_cols, len_bits, exc_cap=None):
     """Device run extraction + transfer-minimal packing — the TPU-side
     equivalent of BlockMapper::extractSegment
     (/root/reference/liftover/impl/halBlockMapper.cpp:331-391): merge
@@ -800,7 +801,8 @@ def _runs_packed_jit(F, lo, seq_grid, out_cols, len_bits):
 
     codes = jnp.minimum(counts32, 3)           # 2-bit count code, 3=escape
     esc = codes == 3
-    exc_cap = _exc_cap(n_own)
+    if exc_cap is None:
+        exc_cap = _exc_cap(n_own)
     exc_pos = jnp.cumsum(esc.astype(jnp.int32)) - 1
     n_exc = jnp.where(n_own > 0, exc_pos[-1] + 1, 0)
     exc_idx = jnp.where(esc, exc_pos, exc_cap)
@@ -851,7 +853,8 @@ def wire_words(out_cols: int, n_own: int) -> int:
             + (n_own + 31) // 32)
 
 
-def decode_runs_packed(wire, run_total, lo, out_cols: int, len_bits: int):
+def decode_runs_packed(wire, run_total, lo, out_cols: int, len_bits: int,
+                       exc_cap: int | None = None):
     """Host decode of _runs_packed_jit's single u32 wire buffer: returns
     int64 numpy arrays (s_lo, s_hi, t_lo, t_hi, rev, owner) of the merged
     runs plus the boolean per-owner needs-host-merge mask."""
@@ -862,7 +865,8 @@ def decode_runs_packed(wire, run_total, lo, out_cols: int, len_bits: int):
     c2 = (c + 1) // 2
     cb = (c + 31) // 32
     nb = (n_own + 15) // 16
-    exc_cap = _exc_cap(n_own)
+    if exc_cap is None:
+        exc_cap = _exc_cap(n_own)
     e4 = (exc_cap + 3) // 4
     tl = w[:c][:k].astype(np.int64)
     pw = w[c:c + c2]
