@@ -186,7 +186,11 @@ def bench_hal2maf_device(budget_ok):
     import jax
 
     t0 = time.time()
-    eng = DeviceColumnEngine(aln, ref)
+    try:
+        eng = DeviceColumnEngine(aln, ref)
+    except ValueError as e:  # DFS key space exceeds the coordinate dtype
+        sys.stderr.write("device maf: skipped (%s)\n" % e)
+        return None, None
     init_dt = time.time() - t0
     Wd = 1 << 21
     t0 = time.time()
