@@ -263,11 +263,18 @@ class PhyloPScorer:
 
     def __init__(self, aln, mod: NeutralModel, mode: str = "CONACC",
                  dup_mask: str = "soft", dup_type: str = "ambiguous",
-                 subtree: str | None = None, device: str = "auto"):
+                 subtree: str | None = None, device: str = "auto",
+                 device_columns: str | None = None):
         if mode not in ("CONACC", "CON", "ACC", "NNEUT"):
             raise ValueError("unknown phyloP mode " + mode)
         if device not in ("auto", "on", "off"):
             raise ValueError("device must be auto, on or off")
+        if device_columns not in (None, "auto", "on", "off"):
+            raise ValueError("device_columns must be auto, on or off")
+        # column-construction engine choice follows `device` unless set
+        # separately (the LRT precision choice and the column engine are
+        # independent: device columns are bit-identical to the exact DFS)
+        self.device_columns = device_columns
         if dup_type not in ("all", "ambiguous"):
             raise ValueError("unknown dupType " + dup_type +
                              ", should be all or ambiguous")
@@ -366,10 +373,44 @@ class PhyloPScorer:
         return score_patterns(self.mod, self.leaf_idx, pats, self.mode,
                               sub_nodes=self.sub_nodes)
 
-    def score_window(self, ref: str, gs: int, ge: int) -> np.ndarray:
-        """Scores for reference positions [gs, ge) (genome coords)."""
+    def _window_slices(self, ref, gs, ge, targets):
+        """Column slices for a window: the DEVICE column engine
+        (ops.column_jax) when the device policy allows — the Python exact
+        DFS caps genome-scale halPhyloP at ~0.3M columns/s while the
+        device structure pass runs at 30M+ — else the exact DFS.  Both
+        produce identical slices (byte-equality tested), so dup-mask
+        stickiness and row order are unaffected."""
         from hal_tpu.ops.column import iter_slices_exact
 
+        pol = self.device_columns or self.device
+        if pol != "off" and not hasattr(self, "_col_eng"):
+            self._col_eng = {}
+        eng = None
+        if pol != "off":
+            eng = self._col_eng.get(ref)
+            if eng is None and ref not in getattr(self, "_col_bad", set()):
+                use = pol == "on"
+                if pol == "auto":
+                    from hal_tpu.phylop_jax import on_accelerator
+
+                    use = on_accelerator()
+                if use:
+                    try:
+                        from hal_tpu.ops.column_jax import DeviceColumnEngine
+
+                        eng = DeviceColumnEngine(self.aln, ref,
+                                                 targets=targets)
+                        self._col_eng[ref] = eng
+                    except Exception:
+                        bad = getattr(self, "_col_bad", set())
+                        bad.add(ref)
+                        self._col_bad = bad
+        if eng is not None:
+            return eng.window_slices(gs, ge)
+        return iter_slices_exact(self.aln, ref, gs, ge, targets=targets)
+
+    def score_window(self, ref: str, gs: int, ge: int) -> np.ndarray:
+        """Scores for reference positions [gs, ge) (genome coords)."""
         n = ge - gs
         nsp = len(self.species)
         # per-position per-species base code; 4 = missing, 5 = dup-masked
@@ -377,7 +418,7 @@ class PhyloPScorer:
         codes = np.full((n, nsp), 4, np.int8)
         hard = np.zeros(n, bool)
         targets = set(self.species) | {ref}
-        for sl in iter_slices_exact(self.aln, ref, gs, ge, targets=targets):
+        for sl in self._window_slices(ref, gs, ge, targets):
             k = sl.hi - sl.lo
             off = sl.lo - gs
             for r in sl.rows:

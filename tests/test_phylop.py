@@ -243,3 +243,40 @@ def test_subtree_mode(tmp_path):
     # have 3 distinct bases; subtree scoring separates them by lineage
     s_whole = score_patterns(mod, idx, pats, "CONACC")
     assert not np.allclose(s[:2], s_whole[:2])
+
+
+def test_score_window_device_columns_equal_exact():
+    """PhyloPScorer with device column construction (ops.column_jax)
+    produces identical scores to the exact-DFS columns — same slices,
+    same dup-mask stickiness, same numpy LRT."""
+    import numpy as np
+
+    from hal_tpu.randgen import create_random_alignment
+    from hal_tpu.phylop import NeutralModel, PhyloPScorer
+
+    mod_path = "/root/reference/testdata/mammals.mod"
+    import os
+    import pytest as _pytest
+
+    if not os.path.exists(mod_path):
+        _pytest.skip("no mammals.mod")
+    aln = create_random_alignment(seed=21, max_genomes=7, min_genomes=6,
+                                  min_segments=5, max_segments=25,
+                                  min_segment_length=3, max_segment_length=10)
+    mod = NeutralModel.from_mod_file(mod_path)
+    # rename mod leaves onto alignment leaves so species intersect
+    leaves = [n for n in aln.genome_names() if aln.tree.is_leaf(n)]
+    mod_leaves = [n for n in mod.tree.names() if mod.tree.is_leaf(n)]
+    ren = dict(zip(mod_leaves, leaves))
+    for old, new in ren.items():
+        mod.tree.rename(old, new)
+    mod.branch_length = {ren.get(k, k): v
+                         for k, v in mod.branch_length.items()}
+    ref = leaves[0]
+    ge = min(int(aln.open_genome(ref).length), 120)
+    a = PhyloPScorer(aln, mod, device="off")
+    b = PhyloPScorer(aln, mod, device="off", device_columns="on")
+    sa = a.score_window(ref, 0, ge)
+    sb = b.score_window(ref, 0, ge)
+    assert np.array_equal(sa, sb)
+    assert b._col_eng, "device column engine must have been used"
