@@ -393,7 +393,8 @@ class PhyloPScorer:
                 if pol == "auto":
                     from hal_tpu.phylop_jax import on_accelerator
 
-                    use = on_accelerator()
+                    # compile cost only amortizes on real windows
+                    use = on_accelerator() and ge - gs >= (1 << 16)
                 if use:
                     try:
                         from hal_tpu.ops.column_jax import DeviceColumnEngine
