@@ -192,7 +192,8 @@ def bench_hal2maf_device(budget_ok):
         sys.stderr.write("device maf: skipped (%s)\n" % e)
         return None, None
     init_dt = time.time() - t0
-    Wd = 1 << 21
+    glen = int(aln.open_genome(ref).length)
+    Wd = min(1 << 21, glen // 8)  # adaptive: small fixtures in tests
     t0 = time.time()
     pend = eng.dispatch_window(0, Wd)
     jax.block_until_ready(pend[-1][1])
@@ -219,7 +220,7 @@ def bench_hal2maf_device(budget_ok):
     import queue as _q
     import threading as _th
 
-    N_WIN = 4
+    N_WIN = 6
     # warm the packed program + measure the device phase scalar-synced
     big, tots, ovf = eng.dispatch_window_packed(0, Wd)[:3]
     assert not bool(np.asarray(ovf.reshape(1))[0])
@@ -229,34 +230,56 @@ def bench_hal2maf_device(budget_ok):
     t_dev1 = time.time() - t0
     dev_rate = Wd / max(t_dev1, 1e-9)
 
+    # three-stage pipeline: dispatch (main) -> drain (fetch thread) ->
+    # decode+assemble (worker thread); drain and assembly of consecutive
+    # windows overlap, and both overlap the next window's device phase
     ex = NativeMafExporter(aln, ref)
     out = open(os.devnull, "wb")
-    work: "_q.Queue" = _q.Queue(maxsize=2)
+    fetchq: "_q.Queue" = _q.Queue(maxsize=2)
+    asmq: "_q.Queue" = _q.Queue(maxsize=2)
     nbytes_maf = [0]
+
+    def _fetcher():
+        while True:
+            item = fetchq.get()
+            if item is None:
+                asmq.put(None)
+                return
+            gs, ge, bigv, totsv, ovfv, ocs = item
+            if bool(np.asarray(ovfv.reshape(1))[0]):
+                # a window beyond the first-window caps: exact re-size for
+                # THIS window and re-dispatch once (rare; recompiles)
+                for ji in range(len(eng.jobs)):
+                    eng._caps[(ji, ge - gs)] = eng._size(ji, gs, ge,
+                                                         slack=1.0)
+                bigv, totsv, ovfv, ocs = eng.dispatch_window_packed(gs, ge)
+                assert not bool(np.asarray(ovfv.reshape(1))[0]), \
+                    "packed window overflow under exact sizing"
+            asmq.put((gs, ge, np.asarray(bigv), np.asarray(totsv), ocs))
 
     def _assembler():
         while True:
-            item = work.get()
+            item = asmq.get()
             if item is None:
                 return
-            gs, ge, bigv, totsv, ovfv, ocs = item
-            assert not bool(np.asarray(ovfv.reshape(1))[0]), \
-                "packed window overflow"
-            frags = eng.collect_packed(np.asarray(bigv), np.asarray(totsv),
-                                       ocs, gs, ge)
+            gs, ge, big_np, tots_np, ocs = item
+            frags = eng.collect_packed(big_np, tots_np, ocs, gs, ge)
             b = ex.export_frags(gs, ge, frags)
             nbytes_maf[0] += len(b)
             out.write(b)
 
-    th = _th.Thread(target=_assembler)
-    th.start()
+    th_f = _th.Thread(target=_fetcher)
+    th_a = _th.Thread(target=_assembler)
+    th_f.start()
+    th_a.start()
     t0 = time.time()
     for k in range(1, N_WIN + 1):
         gs, ge = k * Wd, (k + 1) * Wd
         big, tots, ovf, oc_all = eng.dispatch_window_packed(gs, ge)
-        work.put((gs, ge, big, tots, ovf, oc_all))
-    work.put(None)
-    th.join()
+        fetchq.put((gs, ge, big, tots, ovf, oc_all))
+    fetchq.put(None)
+    th_f.join()
+    th_a.join()
     out.write(ex.finish())
     out.close()
     ex.close()
