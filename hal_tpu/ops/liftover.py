@@ -406,10 +406,8 @@ class Liftover:
         from hal_tpu.ops.liftover_bulk import atomize_by_owner, bulk_map
 
         beds = list(read_bed(in_stream, bed_type))
-        pos = 0
-        while pos < len(beds):
-            chunk = beds[pos:pos + batch_size]
-            pos += batch_size
+
+        def prep(chunk):
             intervals: list[tuple[int, int]] = []
             seen = set()
             for bed in chunk:
@@ -417,14 +415,19 @@ class Liftover:
                     if iv not in seen:
                         seen.add(iv)
                         intervals.append(iv)
+            return intervals
+
+        mapper = None
+        if use_device:
+            from hal_tpu.ops.segmap_jax import BatchMapper
+
+            mapper = BatchMapper(self.aln, self.src_name, self.tgt_name,
+                                 do_dupes=self.traverse_dupes,
+                                 coalescence_limit=self.coalescence_limit)
+
+        def process(chunk, intervals, f6):
             cache: dict = {}
             if intervals:
-                lo = np.array([a for a, _ in intervals], np.int64)
-                hi = np.array([b for _, b in intervals], np.int64)
-                f6 = bulk_map(self.aln, self.src_name, self.tgt_name, lo, hi,
-                              do_dupes=self.traverse_dupes,
-                              use_device=use_device,
-                              coalescence_limit=self.coalescence_limit)
                 scale = int(max(self.src.length, self.tgt.length) + 2)
                 s_lo, s_hi, t_lo, t_hi, rev, owner = atomize_by_owner(
                     *[np.asarray(a, np.int64) for a in f6[:4]],
@@ -445,3 +448,39 @@ class Liftover:
                     self._emit(bed, out_stream)
             finally:
                 self._frag_cache = None
+
+        # PIPELINED device schedule: dispatch chunk k+1 before draining
+        # chunk k — the D2H transfer overlaps device execution (SCALING.md
+        # round-5 measurement); host formatting happens while the device
+        # works on the next chunk.  Output bytes are schedule-independent.
+        pend = None  # (chunk, intervals, handle)
+        pos = 0
+        while pos < len(beds):
+            chunk = beds[pos:pos + batch_size]
+            pos += batch_size
+            intervals = prep(chunk)
+            if mapper is not None:
+                handle = None
+                if intervals:
+                    lo = np.array([a for a, _ in intervals], np.int64)
+                    hi = np.array([b for _, b in intervals], np.int64)
+                    handle = mapper.dispatch(lo, hi)
+                if pend is not None:
+                    pchunk, pint, ph = pend
+                    process(pchunk, pint,
+                            mapper.decode(ph) if ph is not None else None)
+                pend = (chunk, intervals, handle)
+                continue
+            f6 = None
+            if intervals:
+                lo = np.array([a for a, _ in intervals], np.int64)
+                hi = np.array([b for _, b in intervals], np.int64)
+                f6 = bulk_map(self.aln, self.src_name, self.tgt_name, lo, hi,
+                              do_dupes=self.traverse_dupes,
+                              use_device=False,
+                              coalescence_limit=self.coalescence_limit)
+            process(chunk, intervals, f6)
+        if pend is not None:
+            pchunk, pint, ph = pend
+            process(pchunk, pint,
+                    mapper.decode(ph) if ph is not None else None)

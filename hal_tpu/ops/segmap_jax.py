@@ -1148,6 +1148,69 @@ def tight_caps(path: PathData, totals, slack: float = 1.0):
     return caps_from_totals(path, totals, slack)
 
 
+class BatchMapper:
+    """Dispatch/decode-split map_batch for PIPELINED batch streams: the
+    caller dispatches batch k+1 before decoding batch k, so the D2H drain
+    of one batch overlaps the device execution of the next (measured to
+    overlap on this rig — SCALING.md round-5 experiment; the reference
+    pays zero transfer, halBlockLiftover.cpp:46-113, so every hidden
+    drain second is headline time)."""
+
+    def __init__(self, aln: Alignment, src: str, tgt: str,
+                 do_dupes: bool = True, coalescence_limit: str | None = None,
+                 min_length: int = 0):
+        self.path = PathData.build(aln, src, tgt, do_dupes=do_dupes,
+                                   coalescence_limit=coalescence_limit,
+                                   min_length=min_length)
+        self.dtype = (self.path.levels[0].grid.dtype if self.path.levels
+                      else jnp.int64)
+
+    def _caps(self, n: int, mult: int):
+        base = max(n, 16)
+
+        def cap_for(level):
+            c = _next_pow2(base * mult)
+            if level.kind == "down" and level.max_ring:
+                return (int(c), _next_pow2(c * min(level.max_ring, 4)))
+            return int(c)
+
+        caps = [cap_for(lv) for lv in self.path.levels[:self.path.n_up]]
+        for (up, downs) in self.path.para:
+            caps.append(cap_for(up))
+            caps.extend(cap_for(d) for d in downs)
+        caps.extend(cap_for(lv) for lv in self.path.levels[self.path.n_up:])
+        return tuple(caps)
+
+    def dispatch(self, lo, hi, owner=None, cap_mult: int = 4):
+        """Async device dispatch; returns an opaque pending handle."""
+        lo_d = jnp.asarray(lo, self.dtype)
+        hi_d = jnp.asarray(hi, self.dtype)
+        n = int(lo_d.shape[0])
+        own = (jnp.arange(n, dtype=self.dtype) if owner is None
+               else jnp.asarray(owner, self.dtype))
+        caps = self._caps(n, cap_mult)
+        F, bound, ovf, _lt = _map_batch_jit(self.path, lo_d, hi_d, own, caps)
+        return (F, bound, ovf, lo_d, hi_d, own, cap_mult)
+
+    def decode(self, pend):
+        """Drain one pending batch; on capacity overflow re-runs THAT
+        batch synchronously with doubled capacity (rare).  Returns numpy
+        (src_lo, src_hi, tgt_lo, tgt_hi, rev, owner)."""
+        F, bound, ovf, lo_d, hi_d, own, mult = pend
+        while bool(np.asarray(ovf.reshape(1))[0]):
+            mult *= 2
+            if mult > 4096:
+                raise RuntimeError("segment-map capacity blowup")
+            caps = self._caps(int(lo_d.shape[0]), mult)
+            F, bound, ovf, _lt = _map_batch_jit(self.path, lo_d, hi_d, own,
+                                                caps)
+        k = int(np.asarray(bound.reshape(1))[0])
+        M = np.asarray(F[:, :k]).astype(np.int64)
+        mask = M[C_VALID].astype(bool)
+        M = M[:, mask]
+        return (M[C_SLO], M[C_SHI], M[C_TLO], M[C_THI], M[C_REV], M[C_OWN])
+
+
 def map_batch(path: PathData, lo, hi, owner=None, cap_mult: int = 4):
     """Host wrapper: run the jitted path, growing capacity on overflow.
 

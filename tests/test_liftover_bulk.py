@@ -107,3 +107,36 @@ def test_bulk_device_runs_path_matches_host():
     host = bulk_liftover_bed3(aln, src, tgt, chroms, lo - base, hi - base,
                               use_device=False)
     assert dev == host
+
+
+def test_convert_batched_device_pipelined_bytes_equal():
+    """convert_batched(use_device=True) — the pipelined BatchMapper
+    schedule — emits byte-identical output to the serial convert() across
+    multiple chunks."""
+    import io
+
+    from hal_tpu.ops.liftover import Liftover
+    from hal_tpu.randgen import create_random_alignment
+
+    aln = create_random_alignment(seed=5, max_genomes=6, min_genomes=5,
+                                  min_segments=10, max_segments=40,
+                                  min_segment_length=4, max_segment_length=12)
+    leaves = [n for n in aln.genome_names() if aln.tree.is_leaf(n)]
+    src, tgt = leaves[0], leaves[-1]
+    g = aln.open_genome(src)
+    rng = np.random.default_rng(2)
+    lines = []
+    name = g.seq_names[0]
+    slen = g.seq_length(0)
+    for i in range(300):
+        a = int(rng.integers(0, max(slen - 10, 1)))
+        b = min(a + int(rng.integers(1, 12)), slen)
+        lines.append("%s\t%d\t%d\n" % (name, a, b))
+    bed = "".join(lines)
+    lift = Liftover(aln, src, tgt)
+    o1, o2 = io.StringIO(), io.StringIO()
+    lift.convert(io.StringIO(bed), o1)
+    lift2 = Liftover(aln, src, tgt)
+    lift2.convert_batched(io.StringIO(bed), o2, batch_size=64,
+                          use_device=True)
+    assert o1.getvalue() == o2.getvalue()
