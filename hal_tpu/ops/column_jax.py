@@ -790,6 +790,21 @@ class DeviceColumnEngine:
         return self._postsplit(out)
 
     def window_frags(self, gs: int, ge: int) -> dict:
+        """Keyed fragments for a window via the PACKED one-wire dispatch
+        (2 host fetches per window; per-fetch round trips dominated the
+        per-program drain).  Overflowing windows re-size exactly and
+        re-dispatch once."""
+        big, tots, ovf, oc_all = self.dispatch_window_packed(gs, ge)
+        if bool(np.asarray(ovf.reshape(1))[0]):
+            for ji in range(len(self.jobs)):
+                self._caps[(ji, ge - gs)] = self._size(ji, gs, ge, slack=1.0)
+            big, tots, ovf, oc_all = self.dispatch_window_packed(gs, ge)
+            assert not bool(np.asarray(ovf.reshape(1))[0]), \
+                "column window overflow under exact host sizing"
+        return self.collect_packed(np.asarray(big), np.asarray(tots),
+                                   oc_all, gs, ge)
+
+    def window_frags_unpacked(self, gs: int, ge: int) -> dict:
         return self._postsplit(
             self.collect(self.dispatch_window(gs, ge), gs, ge))
 
