@@ -171,6 +171,17 @@ class DepthEngine:
     def __init__(self, aln: Alignment, ref: str, gs: int, ge: int, scope,
                  scope_root, count_dupes: bool = False,
                  no_ancestors: bool = False):
+        import os
+
+        import jax
+
+        # honor JAX_PLATFORMS=cpu authoritatively: a TPU platform plugin
+        # can win the backend race over the env var alone (CLAUDE.md)
+        if os.environ.get("JAX_PLATFORMS") == "cpu":
+            try:
+                jax.config.update("jax_platforms", "cpu")
+            except Exception:
+                pass
         import jax.numpy as jnp
 
         from hal_tpu.ops import segmap_jax as sj

@@ -59,8 +59,12 @@ def run(argv=None):
         end = base + s + ln
         import numpy as np
 
+        # the device engine drains RLE runs (bytes ~ runs, not columns),
+        # so much larger windows amortize per-window host sizing; the
+        # dense counts vector lives in HBM (4 B/column)
+        win = (1 << 26) if o.device else WINDOW
         while pos < end:
-            w = min(pos + WINDOW, end)
+            w = min(pos + win, end)
             if o.device:
                 from hal_tpu.ops.depth import depth_counts_device
 
