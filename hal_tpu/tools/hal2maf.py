@@ -176,9 +176,12 @@ def run(argv=None):
             yield base + s, base + s + ln
 
     def convert_range(gs, ge):
+        # the device engine amortizes per-window sizing + dispatch over
+        # larger windows (its drain is a packed wire, ~bytes-per-fragment)
+        win = (1 << 22) if device_eng is not None else WINDOW
         pos = gs
         while pos < ge:
-            end = min(pos + WINDOW, ge)
+            end = min(pos + win, ge)
             if device_eng is not None and native_ex is not None:
                 out_b.write(device_eng.export_native(native_ex, pos, end))
             elif device_eng is not None:
