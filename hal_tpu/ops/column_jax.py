@@ -45,10 +45,12 @@ identical blocks; fragments are split host-side at both segment grids of
 their own target genome, which together with the per-level split grids
 covers every boundary the reference's per-column limit logic sees.
 
-Supported flag surface: the default hal2maf configuration (duplications
-on, ancestors on).  noAncestors and target filtering are output-side
-filters; --noDupes / --unique / --maxRefGap / --global take the native
-C++ or exact-Python paths instead (tools/hal2maf.py chooses).
+Supported flag surface: the default hal2maf configuration plus
+--noDupes (canonical-gated up levels, ringless down levels) and
+--onlyOrthologs (branch programs dropped, destination rings kept);
+noAncestors and target filtering are output-side filters.  --unique /
+--maxRefGap / --global / --printTree take the native C++ or exact-Python
+paths instead (tools/hal2maf.py chooses).
 """
 
 from __future__ import annotations
@@ -87,15 +89,25 @@ def ref_chain(tree, ref: str, scope_root: str) -> list:
     return chain
 
 
-def build_programs(aln: Alignment, ref: str, scope, scope_root):
+def build_programs(aln: Alignment, ref: str, scope, scope_root,
+                   no_dupes: bool = False, only_orthologs: bool = False):
     """{target -> [ProgramSpec, ...]} in DFS ordinal order per target.
 
     Mirrors the reference recursion's visit order (see module docstring);
     the MAIN program of the reference genome itself is the empty program
-    (the identity row, ordinal 0)."""
+    (the identity row, ordinal 0).
+
+    no_dupes: MAIN only, up-hops canonical-gated ("upc") and down-hops
+    without rings ("downnr") — updateParent's canonical check plus the
+    suppressed updateNextTopDup.  only_orthologs: branch programs (the
+    reference-chain next_top_dup spread) are dropped but destination
+    rings on the down path remain — updateChild's ring walk is not gated
+    by onlyOrthologs in the recursion."""
     tree = aln.tree
     chain = ref_chain(tree, ref, scope_root)
     cidx = {g: i for i, g in enumerate(chain)}
+    upk = "upc" if no_dupes else "up"
+    downk = "downnr" if no_dupes else "down"
     out = {}
     for t in sorted(scope):
         m = tree.lca(ref, t)
@@ -103,15 +115,16 @@ def build_programs(aln: Alignment, ref: str, scope, scope_root):
         on_chain = t in cidx
         lo_j = cidx[t] if on_chain else u
         progs = []
-        for j in range(len(chain) - 2, lo_j - 1, -1):
-            ops = [("up", chain[i], chain[i + 1]) for i in range(j)]
-            ops.append(("selfring", chain[j]))
-            dp = tree.path(chain[j], t)
-            ops += [("down", a, b) for a, b in zip(dp, dp[1:])]
-            progs.append(ops)
-        main = [("up", chain[i], chain[i + 1]) for i in range(u)]
+        if not (no_dupes or only_orthologs):
+            for j in range(len(chain) - 2, lo_j - 1, -1):
+                ops = [("up", chain[i], chain[i + 1]) for i in range(j)]
+                ops.append(("selfring", chain[j]))
+                dp = tree.path(chain[j], t)
+                ops += [("down", a, b) for a, b in zip(dp, dp[1:])]
+                progs.append(ops)
+        main = [(upk, chain[i], chain[i + 1]) for i in range(u)]
         dp = tree.path(m, t)
-        main += [("down", a, b) for a, b in zip(dp, dp[1:])]
+        main += [(downk, a, b) for a, b in zip(dp, dp[1:])]
         if on_chain:
             progs.insert(0, main)
         else:
@@ -236,7 +249,7 @@ class ColumnHostSim:
     # -- one program -----------------------------------------------------
     def level_radix(self, op, is_last) -> int:
         kind = op[0]
-        if kind == "up":
+        if kind in ("up", "upc", "downnr"):
             return 1
         if kind == "selfring":
             mr = self.csr(op[1]).max_ring
@@ -253,13 +266,24 @@ class ColumnHostSim:
         for oi, op in enumerate(ops):
             is_last = oi == len(ops) - 1
             kind = op[0]
-            if kind == "up":
+            if kind in ("up", "upc"):
                 g = self.aln.open_genome(op[1])
                 pg = self.aln.open_genome(op[2])
                 st, seg, tot = self._split(st, g.top_start)
                 totals.append((tot, 0))
-                st, _li = self._hop(st, seg, g.top_start,
-                                    g.top_parent[:g.num_top_segments],
+                nt = g.num_top_segments
+                link = np.asarray(g.top_parent[:nt], np.int64)
+                if kind == "upc" and nt:
+                    # canonical-only (noDupes): parent's child link must
+                    # point back (updateParent's is_canonical gate)
+                    slot = self.tree.child_index(op[2], op[1])
+                    pi = np.clip(link, 0, max(pg.num_bottom_segments - 1, 0))
+                    back = (pg.bot_child[pi, slot]
+                            if pg.num_bottom_segments
+                            else np.full(nt, NULL_INDEX))
+                    canon = (link != NULL_INDEX) & (back == np.arange(nt))
+                    link = np.where(canon, link, NULL_INDEX)
+                st, _li = self._hop(st, seg, g.top_start, link,
                                     g.top_parent_reversed.astype(np.int64),
                                     pg.bot_start)
             elif kind == "selfring":
@@ -282,7 +306,7 @@ class ColumnHostSim:
                 st, li = self._hop(st, seg, g.bot_start, link, lrev,
                                    cg.top_start)
                 radix = self.level_radix(op, is_last)
-                if radix > 1:
+                if radix > 1 and kind == "down":
                     members, rtot = self._ring_members(
                         op[2], st, li, radix, 1 if is_last else 0)
                     canon = radix - 1 if not is_last else 0
@@ -412,7 +436,8 @@ def slices_from_frags(aln: Alignment, ref: str, gs: int, ge: int,
 
 def iter_slices_hostsim(aln: Alignment, ref: str, gs: int, ge: int,
                         scope=None, no_ancestors: bool = False,
-                        targets=None):
+                        targets=None, no_dupes: bool = False,
+                        only_orthologs: bool = False):
     """Full host-twin column engine: program enumeration + keyed fragment
     runs + slice assembly.  Same output contract as
     column.iter_slices_exact for the supported flag surface."""
@@ -422,7 +447,9 @@ def iter_slices_hostsim(aln: Alignment, ref: str, gs: int, ge: int,
         scope, scope_root = compute_scope(aln, ref)
     else:
         scope_root = min(scope, key=lambda n: aln.tree.depth(n))
-    programs = build_programs(aln, ref, scope, scope_root)
+    programs = build_programs(aln, ref, scope, scope_root,
+                              no_dupes=no_dupes,
+                              only_orthologs=only_orthologs)
     sim = ColumnHostSim(aln)
     frags = _target_frags_host(sim, programs, gs, ge)
     yield from slices_from_frags(aln, ref, gs, ge, frags,
@@ -448,10 +475,14 @@ def build_levels(aln: Alignment, spec: ProgramSpec, dtype):
     for op in spec.ops:
         if op[0] == "up":
             levels.append(sj.build_up_level(aln, op[1], dtype))
+        elif op[0] == "upc":
+            levels.append(sj.build_up_level(aln, op[1], dtype,
+                                            canonical_only=True))
         elif op[0] == "selfring":
             levels.append(sj.build_selfring_level(aln, op[1], dtype))
         else:
-            levels.append(sj.build_down_level(aln, op[1], op[2], True, dtype))
+            levels.append(sj.build_down_level(aln, op[1], op[2],
+                                              op[0] == "down", dtype))
     return tuple(levels)
 
 
@@ -607,7 +638,8 @@ class DeviceColumnEngine:
     Python engines)."""
 
     def __init__(self, aln: Alignment, ref: str, scope=None, targets=None,
-                 no_ancestors: bool = False, dtype=None):
+                 no_ancestors: bool = False, no_dupes: bool = False,
+                 only_orthologs: bool = False, dtype=None):
         import os
 
         import jax
@@ -633,7 +665,9 @@ class DeviceColumnEngine:
         self.targets = targets
         self.no_ancestors = no_ancestors
         self.sim = ColumnHostSim(aln)
-        self.programs = build_programs(aln, ref, scope, scope_root)
+        self.programs = build_programs(aln, ref, scope, scope_root,
+                                       no_dupes=no_dupes,
+                                       only_orthologs=only_orthologs)
         if dtype is None:
             mx = 0
             for n in scope:

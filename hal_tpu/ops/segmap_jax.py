@@ -271,7 +271,12 @@ def _pages(starts):
     return (None if pt is None else jnp.asarray(pt)), ps
 
 
-def build_up_level(aln: Alignment, cur: str, dtype) -> Level:
+def build_up_level(aln: Alignment, cur: str, dtype,
+                   canonical_only: bool = False) -> Level:
+    """canonical_only: only segments whose parent's child link points back
+    hop up (the noDupes gate — Hdf5TopSegment::isCanonicalParalog,
+    reference hdf5TopSegment.cpp:55-66; ColumnDFS._update_parent's
+    no_dupes check)."""
     g = aln.open_genome(cur)
     parent = aln.tree.parent(cur)
     pg = aln.open_genome(parent)
@@ -279,10 +284,18 @@ def build_up_level(aln: Alignment, cur: str, dtype) -> Level:
     np_dtype = _np_dtype_of(dtype)
     z0 = np.zeros(0, np.int64)
     pt, ps = _pages(g.top_start)
+    link = np.asarray(g.top_parent[:n_seg], np.int64).copy()
+    if canonical_only and n_seg:
+        slot = aln.tree.child_index(parent, cur)
+        pi = np.clip(link, 0, max(pg.num_bottom_segments - 1, 0))
+        back = (pg.bot_child[pi, slot] if pg.num_bottom_segments
+                else np.full(n_seg, NULL_INDEX))
+        canon = (link != NULL_INDEX) & (back == np.arange(n_seg))
+        link = np.where(canon, link, NULL_INDEX)
     return Level(
         kind="up",
         grid=jnp.asarray(np.ascontiguousarray(g.top_start), dtype),
-        seg_table=_seg_tab(np_dtype, g.top_start, g.top_parent[:n_seg],
+        seg_table=_seg_tab(np_dtype, g.top_start, link,
                            g.top_parent_reversed[:n_seg],
                            pg.bot_start[:pg.num_bottom_segments], z0, z0),
         ring_mem_tab=_pack4(np_dtype, np.zeros(0, np.int64)),

@@ -89,8 +89,8 @@ def run(argv=None):
     # native C++ assembly — byte-identical to every other engine
     device_eng = None
     if o.device:
-        unsupported = (o.global_ or o.printTree or o.maxRefGap or o.unique
-                       or o.noDupes or o.onlyOrthologs)
+        unsupported = (o.global_ or o.printTree or o.maxRefGap
+                       or o.unique)
         if unsupported:
             sys.stderr.write("hal2maf: --device does not cover this flag "
                              "set; using the native/python engine\n")
@@ -100,7 +100,8 @@ def run(argv=None):
 
                 device_eng = DeviceColumnEngine(
                     aln, ref, scope=scope, targets=targets,
-                    no_ancestors=o.noAncestors)
+                    no_ancestors=o.noAncestors, no_dupes=o.noDupes,
+                    only_orthologs=o.onlyOrthologs)
             except Exception as e:
                 sys.stderr.write("hal2maf: device engine unavailable "
                                  "(%s); falling back\n" % e)

@@ -189,3 +189,27 @@ def test_native_assembler_byte_equal():
             got += ex2.finish()
             ex2.close()
             assert got == want, (seed, ref)
+
+
+def test_device_engine_nodupes_onlyorthologs():
+    """--noDupes (canonical-gated up levels, ringless downs) and
+    --onlyOrthologs (branches dropped, destination rings kept) on the
+    device engine, byte-equal to the exact DFS."""
+    for seed in (11, 77):
+        aln = _aln(seed)
+        leaves = [n for n in aln.genome_names() if aln.tree.is_leaf(n)]
+        for ref in (leaves[0], aln.root_name):
+            g = aln.open_genome(ref)
+            if g.length == 0:
+                continue
+            ge = int(g.length)
+            want = _export(aln, ref, iter_slices_exact(aln, ref, 0, ge,
+                                                       no_dupes=True))
+            eng = DeviceColumnEngine(aln, ref, no_dupes=True)
+            assert _export(aln, ref, eng.window_slices(0, ge)) == want, \
+                ("noDupes", seed, ref)
+            want = _export(aln, ref, iter_slices_exact(
+                aln, ref, 0, ge, only_orthologs=True))
+            eng = DeviceColumnEngine(aln, ref, only_orthologs=True)
+            assert _export(aln, ref, eng.window_slices(0, ge)) == want, \
+                ("onlyOrthologs", seed, ref)
