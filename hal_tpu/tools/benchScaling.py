@@ -36,6 +36,9 @@ def run(argv=None):
                    help="comma list of nSegments values to sweep (VERDICT "
                         "r4 weak #5: ring vs table compared at multiple "
                         "fixture sizes); default: just --nSegments")
+    p.add_argument("--column", action="store_true",
+                   help="also time the sharded device COLUMN step "
+                        "(hal2maf structure discovery) per mesh size")
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--seed", type=int, default=7)
     o = p.parse_args(argv)
@@ -137,6 +140,30 @@ def _sweep_fixture(o, n_segments, sizes, all_dev, all_rows):
             tdt = (time.time() - t0) / o.iters
             if not np.asarray(ovt).any():
                 row["table_sharded_intervals_per_s"] = round(n / tdt, 1)
+        # sharded device column engine (hal2maf structure discovery,
+        # window data-parallel over the mesh — ops/column_jax)
+        if o.column:
+            from hal_tpu.ops import column_jax as cj
+
+            eng = cj.DeviceColumnEngine(aln, src)
+            W = min(int(sg.length), 1 << 14)
+            edges = np.linspace(0, W, nd + 1).astype(np.int64)
+            caps_all, oc_all = cj.size_sharded_caps(eng, edges)
+            cstep = cj.make_sharded_column_step(eng, caps_all, oc_all, mesh)
+            from jax.sharding import NamedSharding, PartitionSpec as _P
+
+            shd = NamedSharding(mesh, _P("data"))
+            lo_sh = jax.device_put(edges[:-1].copy(), shd)
+            hi_sh = jax.device_put(edges[1:].copy(), shd)
+            outs = cstep(lo_sh, hi_sh)
+            _ = np.asarray(outs[0][1])
+            t0 = time.time()
+            for _i in range(o.iters):
+                outs = cstep(lo_sh, hi_sh)
+            _ = np.asarray(outs[0][1])
+            cdt = (time.time() - t0) / o.iters
+            row["column_cols_per_s"] = round(W / cdt, 1)
+            row["column_programs"] = len(eng.jobs)
         # shard-local variant (parallel/ring_sharded): tables never
         # rematerialize; reports the all_to_all routing overhead
         if nd > 1 and not path.para:
