@@ -213,3 +213,46 @@ def test_device_engine_nodupes_onlyorthologs():
             eng = DeviceColumnEngine(aln, ref, only_orthologs=True)
             assert _export(aln, ref, eng.window_slices(0, ge)) == want, \
                 ("onlyOrthologs", seed, ref)
+
+
+def test_device_engine_multi_sequence():
+    """Genomes with several sequences: per-sequence entry keys, sequence
+    boundary cuts and ref-sequence selection through the device engine."""
+    from hal_tpu.alignment import Alignment
+    from hal_tpu.genome import GenomeArrays, SequenceInfo
+    from hal_tpu.ops.validate import validate_alignment
+
+    aln = Alignment()
+    aln.add_root_genome("Anc", [SequenceInfo("sA", 12, 0, 3),
+                                SequenceInfo("sB", 8, 0, 2)])
+    aln.tree.add_child("Anc", "X", 0.1)
+    anc = aln.open_genome("Anc")
+    anc.bot_start[:-1] = [0, 4, 8, 12, 16]
+    anc.bot_child = np.array([[0], [1], [3], [2], [4]], np.int64)
+    anc.bot_child_reversed = np.array([[0], [0], [1], [0], [0]], np.uint8)
+    x = GenomeArrays.create("X", [SequenceInfo("x1", 12, 3, 0),
+                                  SequenceInfo("x2", 8, 2, 0)],
+                            num_children=0)
+    x.top_start[:-1] = [0, 4, 8, 12, 16]
+    x.top_parent = np.array([0, 1, 3, 2, 4], np.int64)
+    x.top_parent_reversed = np.array([0, 0, 0, 1, 0], np.uint8)
+    aln.set_genome(x)
+    rng = np.random.default_rng(1)
+    DNA = np.frombuffer(b"ACGT", dtype=np.uint8)
+    anc.set_dna(0, DNA[rng.integers(0, 4, 20)])
+    out = np.empty(20, np.uint8)
+    for i in range(5):
+        p = int(x.top_parent[i])
+        out[i * 4:(i + 1) * 4] = anc.get_dna(
+            p * 4, 4, reversed_=bool(x.top_parent_reversed[i]))
+    x.set_dna(0, out)
+    validate_alignment(aln)
+    for ref in ("Anc", "X"):
+        ge = int(aln.open_genome(ref).length)
+        want = _export(aln, ref, iter_slices_exact(aln, ref, 0, ge))
+        eng = DeviceColumnEngine(aln, ref)
+        assert _export(aln, ref, eng.window_slices(0, ge)) == want, ref
+        want3 = _export(aln, ref, iter_slices_exact(aln, ref, 0, ge),
+                        max_block_len=3)
+        assert _export(aln, ref, eng.window_slices(0, ge),
+                       max_block_len=3) == want3, ref
