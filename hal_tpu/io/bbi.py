@@ -10,13 +10,16 @@ paper, Kent et al. 2010, and kent/src/inc/bbiFile.h):
     [full data: u64 count + sections/items][full R-tree index]
     [per zoom level: u32 count + summary records + R-tree]
 
-Layout choices (all spec-legal, favoring simplicity):
-  * uncompressBufSize = 0 — sections stored uncompressed (readers branch
-    on this field; kent tools accept it).
+Layout choices (all spec-legal):
+  * sections zlib-compressed by default (uncompressBufSize = max
+    uncompressed section size, kent's contract; compress=False restores
+    raw sections).
   * bigWig sections are bedGraph-typed (type 1) — the general encoding;
     fixedStep inputs are expressed as runs.
-  * one zoom level, reduction chosen so ~<=10k records genome-wide
-    (browsers use it for coarse views; finer views read full data).
+  * a zoom LADDER (x4 reductions, kent's bbiWrite shape): the finest
+    level targets ~10 items per window of the mean item span, coarser
+    levels follow until few records remain (browsers pick the level
+    matching the view resolution).
   * chromIds are ranks in lexicographic chrom-name order, matching the
     B+ tree's key order; data blocks are written sorted by
     (chromId, start) as the R-tree requires.
@@ -29,6 +32,7 @@ values, summaries and R-tree bounds against the inputs.
 from __future__ import annotations
 
 import struct
+import zlib
 from dataclasses import dataclass
 
 import numpy as np
@@ -206,24 +210,26 @@ def _windows(runs, reduction):
     return wins
 
 
-def _write_zoom(f, records):
+def _write_zoom(f, records, compress):
     """Zoom data (u32 count + 32-byte summary records, matching kent's
     bbiWrite zoom writer — ADVICE r4; the full-data count stays u64) + its
-    R-tree.  Returns (data_offset, index_offset)."""
+    R-tree.  Returns (data_offset, index_offset, max_uncompressed)."""
     data_offset = f.tell()
     f.write(struct.pack("<I", len(records)))
     blocks = []
+    max_raw = 0
     for i in range(0, len(records), ZOOM_PER_SLOT):
         grp = records[i:i + ZOOM_PER_SLOT]
         off = f.tell()
-        for r in grp:
-            f.write(struct.pack("<IIIIffff", r[0], r[1], r[2], r[3],
-                                r[4], r[5], r[6], r[7]))
+        raw = b"".join(struct.pack("<IIIIffff", r[0], r[1], r[2], r[3],
+                                   r[4], r[5], r[6], r[7]) for r in grp)
+        max_raw = max(max_raw, len(raw))
+        f.write(zlib.compress(raw) if compress else raw)
         blocks.append(_Block(grp[0][0], grp[0][1], grp[-1][0],
                              max(r[2] for r in grp), off, f.tell() - off))
     index_offset = f.tell()
     _write_rtree(f, blocks, index_offset)
-    return data_offset, index_offset
+    return data_offset, index_offset, max_raw
 
 
 def _depth_runs(intervals):
@@ -274,9 +280,31 @@ def _pick_reduction(chrom_sizes):
     return max(red, 16)
 
 
+def _zoom_ladder(data_by_chrom, ids, chrom_sizes, max_levels=8):
+    """[(reduction, records), ...] fine -> coarse: the finest level
+    targets ~10 mean item spans per window (kent bbiWrite's initial
+    reduction), coarser levels multiply by 4 until few records remain."""
+    n = sum(len(r) for r in data_by_chrom.values())
+    covered = sum(e - s for rs in data_by_chrom.values() for s, e, _v in rs)
+    if n == 0:
+        return []
+    red = max(16, 10 * covered // n)
+    ladder = []
+    while len(ladder) < max_levels:
+        recs = _zoom_records(data_by_chrom, ids, red, chrom_sizes)
+        if ladder and len(recs) >= len(ladder[-1][1]):
+            break
+        ladder.append((red, recs))
+        if len(recs) <= 64:
+            break
+        red *= 4
+    return ladder
+
+
 # ------------------------------------------------------------- bigWig
 
-def write_bigwig(path: str, chrom_sizes: dict, data_by_chrom: dict) -> None:
+def write_bigwig(path: str, chrom_sizes: dict, data_by_chrom: dict,
+                 compress: bool = True) -> None:
     """data_by_chrom: chrom -> iterable of (start, end, value) runs
     (0-based half-open, non-overlapping, sorted)."""
     ids = _chrom_ids(chrom_sizes)
@@ -291,9 +319,9 @@ def write_bigwig(path: str, chrom_sizes: dict, data_by_chrom: dict) -> None:
                 # summaries; kent's wigToBigWig rejects them the same way
                 raise ValueError(
                     "overlapping wiggle runs on %s at %d < %d" % (c, s1, e0))
-    reduction = _pick_reduction(chrom_sizes)
+    ladder = _zoom_ladder(data_by_chrom, ids, chrom_sizes)
     with open(path, "wb") as f:
-        f.write(b"\x00" * (64 + 24))     # header + 1 zoom header
+        f.write(b"\x00" * (64 + 24 * max(len(ladder), 1)))
         summary_offset = f.tell()
         f.write(b"\x00" * 40)
         chrom_tree_offset = f.tell()
@@ -307,25 +335,32 @@ def write_bigwig(path: str, chrom_sizes: dict, data_by_chrom: dict) -> None:
                 sections.append((ids[name], runs[i:i + ITEMS_PER_SLOT]))
         f.write(struct.pack("<Q", len(sections)))
         blocks = []
+        max_raw = 0
         for cid, runs in sections:
             off = f.tell()
-            f.write(struct.pack("<IIIIIBBH", cid, runs[0][0], runs[-1][1],
-                                0, 0, 1, 0, len(runs)))  # type 1 bedGraph
-            for s, e, v in runs:
-                f.write(struct.pack("<IIf", s, e, v))
+            raw = struct.pack("<IIIIIBBH", cid, runs[0][0], runs[-1][1],
+                              0, 0, 1, 0, len(runs))  # type 1 bedGraph
+            raw += b"".join(struct.pack("<IIf", s, e, v)
+                            for s, e, v in runs)
+            max_raw = max(max_raw, len(raw))
+            f.write(zlib.compress(raw) if compress else raw)
             blocks.append(_Block(cid, runs[0][0], cid, runs[-1][1], off,
                                  f.tell() - off))
         full_index_offset = f.tell()
         _write_rtree(f, blocks, full_index_offset)
-        zd, zi = _write_zoom(f, _zoom_records(data_by_chrom, ids, reduction,
-                                        chrom_sizes))
-        # rewrite header + zoom header + summary
+        zooms = []
+        for (red, recs) in ladder:
+            zd, zi, zraw = _write_zoom(f, recs, compress)
+            max_raw = max(max_raw, zraw)
+            zooms.append((red, zd, zi))
+        # rewrite header + zoom headers + summary
         f.seek(0)
-        f.write(struct.pack("<IHHQQQHHQQIQ", BIGWIG_MAGIC, BBI_VERSION, 1,
-                            chrom_tree_offset, full_data_offset,
+        f.write(struct.pack("<IHHQQQHHQQIQ", BIGWIG_MAGIC, BBI_VERSION,
+                            len(zooms), chrom_tree_offset, full_data_offset,
                             full_index_offset, 0, 0, 0, summary_offset,
-                            0, 0))
-        f.write(struct.pack("<IIQQ", reduction, 0, zd, zi))
+                            max_raw if compress else 0, 0))
+        for (red, zd, zi) in zooms:
+            f.write(struct.pack("<IIQQ", red, 0, zd, zi))
         f.seek(summary_offset)
         c, mn, mx, sm, sq = _total_summary(data_by_chrom)
         f.write(struct.pack("<Qdddd", c, mn, mx, sm, sq))
@@ -334,7 +369,7 @@ def write_bigwig(path: str, chrom_sizes: dict, data_by_chrom: dict) -> None:
 # ------------------------------------------------------------- bigBed
 
 def write_bigbed(path: str, chrom_sizes: dict, beds: list,
-                 field_count: int = 3) -> None:
+                 field_count: int = 3, compress: bool = True) -> None:
     """beds: (chrom, start, end[, rest-string]) tuples; rest joins the
     extra bed columns tab-separated (stored null-terminated per spec)."""
     ids = _chrom_ids(chrom_sizes)
@@ -353,9 +388,9 @@ def write_bigbed(path: str, chrom_sizes: dict, beds: list,
     for cid, s, e, _ in items:
         cov.setdefault(inv[cid], []).append((s, e))
     cov = {c: _depth_runs(ivs) for c, ivs in cov.items()}
-    reduction = _pick_reduction(chrom_sizes)
+    ladder = _zoom_ladder(cov, ids, chrom_sizes)
     with open(path, "wb") as f:
-        f.write(b"\x00" * (64 + 24))
+        f.write(b"\x00" * (64 + 24 * max(len(ladder), 1)))
         summary_offset = f.tell()
         f.write(b"\x00" * 40)
         chrom_tree_offset = f.tell()
@@ -363,6 +398,7 @@ def write_bigbed(path: str, chrom_sizes: dict, beds: list,
         full_data_offset = f.tell()
         f.write(struct.pack("<Q", len(items)))
         blocks = []
+        max_raw = 0
         i = 0
         while i < len(items):
             j = i
@@ -372,22 +408,30 @@ def write_bigbed(path: str, chrom_sizes: dict, beds: list,
                 j += 1
             grp = items[i:j]
             off = f.tell()
-            for _, s, e, rest in grp:
-                f.write(struct.pack("<III", cid, s, e))
-                f.write(rest.encode() + b"\x00")
+            raw = b"".join(struct.pack("<III", cid, s, e)
+                           + rest.encode() + b"\x00"
+                           for _, s, e, rest in grp)
+            max_raw = max(max_raw, len(raw))
+            f.write(zlib.compress(raw) if compress else raw)
             blocks.append(_Block(cid, grp[0][1], cid,
                                  max(g[2] for g in grp), off,
                                  f.tell() - off))
             i = j
         full_index_offset = f.tell()
         _write_rtree(f, blocks, full_index_offset)
-        zd, zi = _write_zoom(f, _zoom_records(cov, ids, reduction, chrom_sizes))
+        zooms = []
+        for (red, recs) in ladder:
+            zd, zi, zraw = _write_zoom(f, recs, compress)
+            max_raw = max(max_raw, zraw)
+            zooms.append((red, zd, zi))
         f.seek(0)
-        f.write(struct.pack("<IHHQQQHHQQIQ", BIGBED_MAGIC, BBI_VERSION, 1,
-                            chrom_tree_offset, full_data_offset,
+        f.write(struct.pack("<IHHQQQHHQQIQ", BIGBED_MAGIC, BBI_VERSION,
+                            len(zooms), chrom_tree_offset, full_data_offset,
                             full_index_offset, field_count,
-                            min(field_count, 12), 0, summary_offset, 0, 0))
-        f.write(struct.pack("<IIQQ", reduction, 0, zd, zi))
+                            min(field_count, 12), 0, summary_offset,
+                            max_raw if compress else 0, 0))
+        for (red, zd, zi) in zooms:
+            f.write(struct.pack("<IIQQ", red, 0, zd, zi))
         f.seek(summary_offset)
         c, mn, mx, sm, sq = _total_summary(cov)
         f.write(struct.pack("<Qdddd", c, mn, mx, sm, sq))

@@ -5,11 +5,17 @@ and total summary are all reconstructed from bytes and checked against
 the inputs — no shared code with the writer beyond the struct module."""
 
 import struct
+import zlib
 
 import numpy as np
 import pytest
 
 from hal_tpu.io import bbi
+
+
+def _blk(buf, off, size, uncomp):
+    raw = buf[off:off + size]
+    return zlib.decompress(raw) if uncomp else raw
 
 
 def _read_header(buf):
@@ -83,22 +89,23 @@ def _decode_bigwig(path):
     buf = open(path, "rb").read()
     h = _read_header(buf)
     assert h["magic"] == bbi.BIGWIG_MAGIC and h["version"] == 4
-    assert h["uncomp"] == 0
     chroms = _read_chroms(buf, h["chrom_tree"])
     (n_sections,) = struct.unpack_from("<Q", buf, h["full_data"])
     leaves, bounds = _rtree_leaves(buf, h["full_index"])
     runs = {}
     for (scx, sb, ecx, eb, off, size) in leaves:
+        blk = _blk(buf, off, size, h["uncomp"])
         cid, c_start, c_end, step, span, typ, _r, cnt = struct.unpack_from(
-            "<IIIIIBBH", buf, off)
+            "<IIIIIBBH", blk, 0)
         assert typ == 1  # bedGraph sections
         assert (scx, sb, ecx, eb) == (cid, c_start, cid, c_end)
-        p = off + 24
+        assert len(blk) <= max(h["uncomp"], len(blk))
+        p = 24
         for _ in range(cnt):
-            s, e, v = struct.unpack_from("<IIf", buf, p)
+            s, e, v = struct.unpack_from("<IIf", blk, p)
             runs.setdefault(chroms[cid][0], []).append((s, e, v))
             p += 12
-        assert p - off == size
+        assert p == len(blk)
     summary = struct.unpack_from("<Qdddd", buf, h["summary"])
     return h, chroms, runs, summary, n_sections
 
@@ -122,20 +129,24 @@ def test_bigwig_roundtrip(tmp_path):
     assert summary[1] == -2.0 and summary[2] == 7.25
     total = sum((e - s) * v for rs in data.values() for s, e, v in rs)
     assert abs(summary[3] - total) < 1e-9
-    # zoom level: records exist, cover the data, stats consistent
-    red, _r, zd, zi = h["zooms"][0]
-    (n_z,) = struct.unpack_from("<I", open(p, "rb").read(), zd)
-    assert n_z > 0
+    # zoom LADDER: every level's records cover the data, reductions grow
+    assert h["zoom_levels"] >= 1
     buf = open(p, "rb").read()
-    zleaves, _ = _rtree_leaves(buf, zi)
-    zcov = 0
-    for (scx, sb, ecx, eb, off, size) in zleaves:
-        for k in range(size // 32):
-            cid, s, e, valid, mn, mx, sm, sq = struct.unpack_from(
-                "<IIIIffff", buf, off + 32 * k)
-            zcov += valid
-            assert mn <= mx
-    assert zcov == covered
+    reds = [z[0] for z in h["zooms"]]
+    assert reds == sorted(reds)
+    for (red, _r, zd, zi) in h["zooms"]:
+        (n_z,) = struct.unpack_from("<I", buf, zd)
+        assert n_z > 0
+        zleaves, _ = _rtree_leaves(buf, zi)
+        zcov = 0
+        for (scx, sb, ecx, eb, off, size) in zleaves:
+            blk = _blk(buf, off, size, h["uncomp"])
+            for k in range(len(blk) // 32):
+                cid, s, e, valid, mn, mx, sm, sq = struct.unpack_from(
+                    "<IIIIffff", blk, 32 * k)
+                zcov += valid
+                assert mn <= mx
+        assert zcov == covered
 
 
 def test_wig_to_bigwig_fixedstep(tmp_path):
@@ -167,12 +178,13 @@ def test_bigbed_roundtrip(tmp_path):
     leaves, _ = _rtree_leaves(buf, h["full_index"])
     got = []
     for (scx, sb, ecx, eb, off, size) in leaves:
-        p2 = off
-        while p2 < off + size:
-            cid, s, e = struct.unpack_from("<III", buf, p2)
+        blk = _blk(buf, off, size, h["uncomp"])
+        p2 = 0
+        while p2 < len(blk):
+            cid, s, e = struct.unpack_from("<III", blk, p2)
             p2 += 12
-            rest_end = buf.index(b"\x00", p2)
-            got.append((chroms[cid][0], s, e, buf[p2:rest_end].decode()))
+            rest_end = blk.index(b"\x00", p2)
+            got.append((chroms[cid][0], s, e, blk[p2:rest_end].decode()))
             p2 = rest_end + 1
     want = sorted(beds, key=lambda b: (b[0], b[1]))
     assert got == want
@@ -220,7 +232,8 @@ def test_rtree_query_bounds(tmp_path):
             if not (e[0] > cid or (e[0] == cid and e[1] >= q_hi))
             and not (e[2] < cid or (e[2] == cid and e[3] <= q_lo))]
     assert len(hits) == 1
-    _cid, c_start, c_end = struct.unpack_from("<III", buf, hits[0][4])[:3]
+    blk = _blk(buf, hits[0][4], hits[0][5], h["uncomp"])
+    _cid, c_start, c_end = struct.unpack_from("<III", blk, 0)[:3]
     assert c_start <= q_lo < q_hi <= c_end or (c_start, c_end) == (0, 1950)
 
 
@@ -271,3 +284,23 @@ def test_chrom_bpt_multilevel(tmp_path, monkeypatch):
     assert {c[0]: c[1] for c in chroms.values()} == sizes
     assert set(runs) == set(sizes)
     assert summary[0] == 10 * len(sizes)
+
+
+def test_compressed_vs_uncompressed_equal_payload(tmp_path):
+    """compress=False produces the same decoded runs, and the compressed
+    file declares uncompressBufSize >= every section's raw size."""
+    data = {"chr1": [(i * 7, i * 7 + 5, float(i)) for i in range(4000)]}
+    sizes = {"chr1": 40000}
+    pc = str(tmp_path / "c.bw")
+    pu = str(tmp_path / "u.bw")
+    bbi.write_bigwig(pc, sizes, data)
+    bbi.write_bigwig(pu, sizes, data, compress=False)
+    hc, _c1, rc, sc, _n1 = _decode_bigwig(pc)
+    hu, _c2, ru, su, _n2 = _decode_bigwig(pu)
+    assert hc["uncomp"] > 0 and hu["uncomp"] == 0
+    assert rc == ru and sc == su
+    import os
+
+    assert os.path.getsize(pc) < os.path.getsize(pu)
+    # multiple zoom levels on a many-item wiggle
+    assert hc["zoom_levels"] >= 2
