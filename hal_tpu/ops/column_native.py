@@ -69,6 +69,10 @@ def _load():
     lib.ce_set_ref.argtypes = [ctypes.c_void_p, ctypes.c_int64]
     lib.ce_read.restype = ctypes.c_int64
     lib.ce_read.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64]
+    lib.ce_data.restype = ctypes.c_void_p
+    lib.ce_data.argtypes = [ctypes.c_void_p, _I64]
+    lib.ce_consume.restype = None
+    lib.ce_consume.argtypes = [ctypes.c_void_p, ctypes.c_int64]
     lib.ce_free.restype = None
     lib.ce_free.argtypes = [ctypes.c_void_p]
     _lib = lib
@@ -187,9 +191,14 @@ class NativeMafExporter:
     # ce_add_genome's long signature is declared lazily (ctypes infers
     # int/pointer types from the call); set argtypes once for safety
     def _export_bytes(self, n: int) -> bytes:
-        buf = ctypes.create_string_buffer(n)
-        got = self._lib.ce_read(ctypes.c_void_p(self._h), buf, n)
-        return buf.raw[:got]
+        # single-copy drain: read the engine's buffer in place, consume
+        ln = ctypes.c_int64(0)
+        ptr = self._lib.ce_data(ctypes.c_void_p(self._h),
+                                ctypes.byref(ln))
+        got = min(int(ln.value), n)
+        out = ctypes.string_at(ptr, got)
+        self._lib.ce_consume(ctypes.c_void_p(self._h), got)
+        return out
 
     def export_frags(self, gs: int, ge: int, frags_by_target: dict,
                      no_ancestors: bool = False, targets=None) -> bytes:

@@ -1305,6 +1305,18 @@ int64_t ce_finish(void* h) {
   return static_cast<int64_t>(e->out.size());
 }
 
+// zero-extra-copy drain: expose the buffer, then consume
+const char* ce_data(void* h, int64_t* n) {
+  Engine* e = static_cast<Engine*>(h);
+  *n = static_cast<int64_t>(e->out.size());
+  return e->out.data();
+}
+
+void ce_consume(void* h, int64_t n) {
+  Engine* e = static_cast<Engine*>(h);
+  e->out.erase(0, static_cast<size_t>(n));
+}
+
 int64_t ce_read(void* h, char* dst, int64_t cap) {
   Engine* e = static_cast<Engine*>(h);
   int64_t n = static_cast<int64_t>(e->out.size());
