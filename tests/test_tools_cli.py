@@ -90,3 +90,28 @@ def test_hdf5_cli_flow(tmp_path):
     r = run_tool("halRandGen", p, "--format", "hdf5", "--seed", "2", "--maxGenomes", "4")
     assert r.returncode == 0, r.stderr
     assert run_tool("halValidate", p).returncode == 0
+
+
+def test_hal2maf_device_flag_byte_equal(halz_file, tmp_path_factory):
+    """hal2maf --device (TPU column engine + native assembler) through the
+    CLI surface: byte-equal to the default engine, incl. --noDupes and
+    --noAncestors."""
+    import os
+
+    d = tmp_path_factory.mktemp("h2md")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    for extra in ([], ["--noDupes"], ["--noAncestors"]):
+        a = str(d / ("a%d.maf" % len(extra)))
+        b = str(d / ("b%d.maf" % len(extra)))
+        r1 = subprocess.run(
+            [sys.executable, "-m", "hal_tpu.tools.hal2maf", halz_file, a]
+            + extra, capture_output=True, text=True, timeout=300)
+        assert r1.returncode == 0, r1.stderr
+        r2 = subprocess.run(
+            [sys.executable, "-m", "hal_tpu.tools.hal2maf", halz_file, b,
+             "--device"] + extra, capture_output=True, text=True,
+            timeout=300, env=env)
+        assert r2.returncode == 0, r2.stderr
+        assert "engine=device" in r2.stderr, r2.stderr
+        assert open(a, "rb").read() == open(b, "rb").read(), extra
