@@ -340,3 +340,50 @@ def test_remote_halz_blockviz_query(tmp_path):
             "browser query fetched %d of %d bytes" % (fetched, total)
     finally:
         srv.shutdown()
+
+
+def test_remote_array_semantics(tmp_path):
+    """RemoteArray vs numpy on every supported access: scalars, slices,
+    fancy/2-D gathers, searchsorted sides, comparisons and ufuncs."""
+    from hal_tpu.storage.remote import RemoteArray
+
+    rng = np.random.default_rng(3)
+    a1 = np.sort(rng.integers(0, 10 ** 6, 5000)).astype(np.int64)
+    a2 = rng.integers(-5, 5, (700, 3)).astype(np.int64)
+    np.save(tmp_path / "a1.npy", a1)
+    np.save(tmp_path / "a2.npy", a2)
+    handler = type("RH4", (RangeHandler,), {"served_bytes": [0]})
+    d = str(tmp_path)
+    srv = HTTPServer(("127.0.0.1", 0),
+                     lambda *a, **kw: handler(*a, directory=d, **kw))
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        RemoteArray._bf_cache.clear()
+        base = "http://127.0.0.1:%d" % srv.server_address[1]
+        r1 = RemoteArray(base + "/a1.npy", block_size=256)
+        r2 = RemoteArray(base + "/a2.npy", block_size=256)
+        assert len(r1) == 5000 and r1.shape == a1.shape
+        assert r2.shape == a2.shape and r2.ndim == 2
+        assert r1[17] == a1[17] and r1[-1] == a1[-1]
+        assert np.array_equal(r1[100:130], a1[100:130])
+        idx = rng.integers(0, 5000, 40)
+        assert np.array_equal(r1[idx], a1[idx])
+        assert np.array_equal(r2[idx % 700, 1], a2[idx % 700, 1])
+        assert np.array_equal(r2[5], a2[5])
+        q = rng.integers(0, 10 ** 6, 25)
+        for side in ("left", "right"):
+            assert np.array_equal(np.searchsorted(r1, q, side=side),
+                                  np.searchsorted(a1, q, side=side))
+        assert int(np.searchsorted(r1, int(q[0]))) == \
+            int(np.searchsorted(a1, int(q[0])))
+        # comparisons / ufuncs materialize with numpy semantics
+        assert np.array_equal(r1 != -1, a1 != -1)
+        assert np.array_equal(np.minimum(r1, 5), np.minimum(a1, 5))
+        assert (np.asarray(r2) == a2).all()
+        # partial access stays partial: a fresh array only fetched blocks
+        RemoteArray._bf_cache.clear()
+        r3 = RemoteArray(base + "/a1.npy", block_size=256)
+        _ = r3[4999]
+        assert r3.bytes_fetched < a1.nbytes // 4
+    finally:
+        srv.shutdown()
