@@ -620,6 +620,14 @@ def main():
     # (ref hot loop halColumnIterator.cpp:65-145 + halMafExport.cpp:25-89).
     maf_rate, maf_mb = bench_hal2maf()
 
+    # device column engine -> native assembler MAF (VERDICT r5 north
+    # star).  Runs BEFORE the depth section: a tunnel-stall evening can
+    # eat the budget, and this metric must land (try5 lesson — depth's
+    # compile+warm took 239 s on a sick link and pushed this past its
+    # gate).
+    maf_dev_e2e, maf_dev_phase = bench_hal2maf_device(
+        time.time() - t_start < 1600)
+
     # second BASELINE metric: alignment columns/s — the device column-depth
     # engine over a 128M-position window against all genomes
     # (halAlignmentDepth workload; ref hot loop halColumnIterator.cpp:65-145).
@@ -683,13 +691,9 @@ def main():
                         dense_mb, rle_dt,
                         probe_np.nbytes / max(probe_dt, 1e-9) / 1e6))
 
-    # device column engine -> native assembler MAF (VERDICT r5 north star)
-    maf_dev_e2e, maf_dev_phase = bench_hal2maf_device(
-        time.time() - t_start < 1150)
-
     # device phyloP LRT (optional extra — skipped if the run is near its
     # wall budget so the headline metrics always land)
-    phylop_rate = bench_phylop_device(time.time() - t_start < 1250)
+    phylop_rate = bench_phylop_device(time.time() - t_start < 1700)
 
     # vs_baseline: device end-to-end vs the measured EXTERNAL anchor (the
     # reference-architecture single-core C++ walk); numpy host fallback
