@@ -733,16 +733,28 @@ def _runs_packed_jit(F, lo, seq_grid, out_cols, len_bits, exc_cap=None):
     u = jnp.uint32
     own_k = jnp.where(valid, F[C_OWN].astype(u), u(0xFFFFFFFF))
     tlo = F[C_TLO].astype(u)
-    slo = F[C_SLO].astype(u)
     ln = (F[C_SHI] - F[C_SLO]).astype(u)
     rev = F[C_REV].astype(u) & u(1)
-    own_s, tlo_s, slo_s, ln_s, rev_s = jax.lax.sort(
-        (own_k, tlo, slo, ln, rev), num_keys=2, is_stable=True)
+    # source coordinates enter the sort OWNER-RELATIVE and pre-packed with
+    # (len, rev) into one u32 — 3 sort operands instead of 5 (the 2-key
+    # bitonic sort is the packing kernel's dominant cost); same-owner
+    # differences are what the merge predicate needs, so offsets suffice
+    own_lo_in = jnp.take(lo.astype(u),
+                         jnp.clip(F[C_OWN].astype(jnp.int32), 0, n_own - 1))
+    s_off_in = F[C_SLO].astype(u) - own_lo_in
+    bad_in = valid & ((ln >= (u(1) << len_bits))
+                      | (s_off_in >= (u(1) << (16 - len_bits))))
+    meta = (s_off_in << (len_bits + 1)) | (ln << 1) | rev
+    own_s, tlo_s, meta_s = jax.lax.sort(
+        (own_k, tlo, meta), num_keys=2, is_stable=True)
+    soff_s = meta_s >> (len_bits + 1)
+    ln_s = (meta_s >> 1) & ((u(1) << len_bits) - u(1))
+    rev_s = meta_s & u(1)
     valid_s = own_s != u(0xFFFFFFFF)
     # dupe classes: equal (owner, t_lo) pairs -> flag the whole owner
     prev_own = jnp.concatenate([u(0xFFFFFFFF)[None], own_s[:-1]])
     prev_tlo = jnp.concatenate([u(0)[None], tlo_s[:-1]])
-    prev_slo = jnp.concatenate([u(0)[None], slo_s[:-1]])
+    prev_soff = jnp.concatenate([u(0)[None], soff_s[:-1]])
     prev_ln = jnp.concatenate([u(0)[None], ln_s[:-1]])
     prev_rev = jnp.concatenate([u(0)[None], rev_s[:-1]])
     same_own = own_s == prev_own
@@ -757,8 +769,8 @@ def _runs_packed_jit(F, lo, seq_grid, out_cols, len_bits, exc_cap=None):
     # chain-merge predicate (canMergeRightWith, halMappedSegment.cpp:109-161);
     # runs never span target sequences (extract_runs seq_index_of check)
     abut_t = tlo_s == prev_tlo + prev_ln
-    abut_s = jnp.where(rev_s > 0, prev_slo == slo_s + ln_s,
-                       slo_s == prev_slo + prev_ln)
+    abut_s = jnp.where(rev_s > 0, prev_soff == soff_s + ln_s,
+                       soff_s == prev_soff + prev_ln)
     seq_id = jnp.searchsorted(seq_grid, tlo_s, side="right")
     prev_seq = jnp.concatenate([seq_id[:1] * 0, seq_id[:-1]])
     mergeable = (same_own & (rev_s == prev_rev) & abut_t & abut_s
@@ -770,20 +782,19 @@ def _runs_packed_jit(F, lo, seq_grid, out_cols, len_bits, exc_cap=None):
     # segmented reduction per run
     out_tlo = jnp.zeros(out_cols, u).at[rid].max(
         jnp.where(start, tlo_s, u(0)), mode="drop")
-    out_slo = jnp.full(out_cols, u(0xFFFFFFFF)).at[rid].min(slo_s, mode="drop")
+    out_soff = jnp.full(out_cols, u(0xFFFFFFFF)).at[rid].min(
+        jnp.where(valid_s, soff_s, u(0xFFFFFFFF)), mode="drop")
     out_len = jnp.zeros(out_cols, u).at[rid].add(ln_s, mode="drop")
     out_rev = jnp.zeros(out_cols, u).at[rid].max(
         jnp.where(start, rev_s, u(0)), mode="drop")
-    out_own = jnp.zeros(out_cols, jnp.int32).at[rid].max(
-        jnp.where(start, own_idx, 0), mode="drop")
-    # per-owner run counts (u8 on the wire; overflow-flagged)
+    # per-owner run counts (2-bit wire codes; overflow-flagged)
     counts32 = jnp.zeros(n_own, jnp.int32).at[own_idx].add(
         start.astype(jnp.int32), mode="drop")
     in_run = jnp.arange(out_cols, dtype=jnp.int32) < run_total
-    own_lo = jnp.take(lo.astype(u), jnp.clip(out_own, 0, n_own - 1))
-    s_off = jnp.where(in_run, out_slo - own_lo, u(0))
+    s_off = jnp.where(in_run, out_soff, u(0))
     pack = s_off << len_bits | jnp.where(in_run, out_len, u(0))
     overflow = ((run_total > out_cols)
+                | jnp.any(bad_in)
                 | jnp.any(counts32 > 255)
                 | jnp.any(in_run & (out_len >= (u(1) << len_bits)))
                 | jnp.any(in_run & (s_off >= (u(1) << (16 - len_bits)))))
